@@ -1,0 +1,279 @@
+"""Tests for the MLP and the full render_rays pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipnerf_tpu.models import vip_nerf
+from vipnerf_tpu.models.mlp import apply_mlp, init_mlp_params, mlp_feature_dims
+
+
+def small_mlp_cfg(**overrides):
+    cfg = {
+        "num_samples": 8,
+        "netdepth": 6,  # depth must exceed skip layer 4
+        "netwidth": 32,
+        "points_positional_encoding_degree": 4,
+        "views_positional_encoding_degree": 2,
+        "use_view_dirs": True,
+        "view_dependent_rgb": True,
+        "predict_visibility": True,
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def small_configs(**model_overrides):
+    configs = {
+        "data_loader": {"ndc": False},
+        "model": {
+            "name": "VipNeRF01",
+            "coarse_mlp": small_mlp_cfg(),
+            "fine_mlp": small_mlp_cfg(num_samples=16),
+            "chunk": 1024,
+            "lindisp": False,
+            "netchunk": 4096,
+            "perturb": True,
+            "raw_noise_std": 1.0,
+            "white_bkgd": False,
+        },
+    }
+    configs["model"].update(model_overrides)
+    return configs
+
+
+def make_batch(nr=16, nf=3, ndc=False, with_poses=True, key=0):
+    rng = np.random.default_rng(key)
+    batch = {
+        "rays_o": jnp.asarray(rng.normal(size=(nr, 3)).astype(np.float32)),
+        "rays_d": jnp.asarray(
+            (rng.normal(size=(nr, 3)) - [0, 0, 3.0]).astype(np.float32)
+        ),
+        "near": jnp.full((nr, 1), 1.0),
+        "far": jnp.full((nr, 1), 5.0),
+    }
+    batch["view_dirs"] = batch["rays_d"] / jnp.linalg.norm(
+        batch["rays_d"], axis=-1, keepdims=True
+    )
+    if ndc:
+        batch["rays_o_ndc"] = jnp.asarray(
+            rng.uniform(-1, 1, size=(nr, 3)).astype(np.float32)
+        )
+        batch["rays_d_ndc"] = jnp.asarray(
+            rng.uniform(-1, 1, size=(nr, 3)).astype(np.float32)
+        )
+        batch["near_ndc"] = jnp.zeros((nr, 1))
+        batch["far_ndc"] = jnp.ones((nr, 1))
+    if with_poses:
+        poses = np.tile(np.eye(4, dtype=np.float32), (nf, 1, 1))
+        poses[:, :3, 3] = rng.normal(size=(nf, 3))
+        batch["poses"] = jnp.asarray(poses)
+        batch["pixel_id"] = jnp.asarray(
+            np.stack(
+                [
+                    rng.integers(0, nf, nr),
+                    rng.integers(0, 64, nr),
+                    rng.integers(0, 48, nr),
+                ],
+                axis=1,
+            ).astype(np.int32)
+        )
+    return batch
+
+
+class TestMLP:
+    def test_output_shapes_and_ranges(self):
+        cfg = small_mlp_cfg()
+        params = init_mlp_params(jax.random.PRNGKey(0), cfg)
+        npts, nf1 = 64, 2
+        pts = jnp.asarray(np.random.default_rng(0).normal(size=(npts, 3)), jnp.float32)
+        vd = jnp.asarray(np.random.default_rng(1).normal(size=(npts, 3)), jnp.float32)
+        vd2 = jnp.asarray(
+            np.random.default_rng(2).normal(size=(npts, nf1, 3)), jnp.float32
+        )
+        out = apply_mlp(params, cfg, pts, vd, vd2)
+        assert out["sigma"].shape == (npts, 1)
+        assert out["rgb"].shape == (npts, 3)
+        assert out["visibility"].shape == (npts, 1)
+        assert out["visibility2"].shape == (npts, nf1, 1)
+        assert (np.asarray(out["sigma"]) >= 0).all()
+        assert (np.asarray(out["rgb"]) > 0).all() and (np.asarray(out["rgb"]) < 1).all()
+        assert (np.asarray(out["visibility2"]) > 0).all()
+
+    def test_view_independent_rgb_path(self):
+        cfg = small_mlp_cfg(view_dependent_rgb=False, predict_visibility=False,
+                            use_view_dirs=False)
+        params = init_mlp_params(jax.random.PRNGKey(0), cfg)
+        assert "feature_linear" not in params
+        pts = jnp.ones((8, 3))
+        out = apply_mlp(params, cfg, pts)
+        assert out["rgb"].shape == (8, 3)
+        np.testing.assert_array_equal(
+            np.asarray(out["rgb"]), np.asarray(out["rgb_view_independent"])
+        )
+
+    def test_param_count_full_size(self):
+        # Reference-size MLP: 8x256, PE 10/4, view-dep rgb + visibility
+        cfg = small_mlp_cfg(
+            netdepth=8,
+            netwidth=256,
+            points_positional_encoding_degree=10,
+            views_positional_encoding_degree=4,
+        )
+        params = init_mlp_params(jax.random.PRNGKey(0), cfg)
+        n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        dims = mlp_feature_dims(cfg)
+        assert dims["pts_in"] == 63 and dims["views_in"] == 27
+        # trunk: 63*256+256 + 6*(256*256+256) + (63+256)*256+256
+        expected = (
+            63 * 256 + 256
+            + 6 * (256 * 256 + 256)
+            + (63 + 256) * 256 + 256
+            + 256 * 1 + 1  # sigma head (view-dep rgb -> pts_out=1)
+            + 256 * 256 + 256  # feature
+            + (27 + 256) * 128 + 128  # view layer
+            + 128 * 4 + 4  # rgb + visibility
+        )
+        assert n == expected
+
+    def test_sigma_noise_only_with_key(self):
+        cfg = small_mlp_cfg()
+        params = init_mlp_params(jax.random.PRNGKey(0), cfg)
+        pts = jnp.ones((32, 3))
+        vd = jnp.ones((32, 3))
+        a = apply_mlp(params, cfg, pts, vd, raw_noise_std=1.0)
+        b = apply_mlp(params, cfg, pts, vd, raw_noise_std=1.0)
+        np.testing.assert_array_equal(np.asarray(a["sigma"]), np.asarray(b["sigma"]))
+        c = apply_mlp(
+            params, cfg, pts, vd, raw_noise_std=1.0,
+            noise_key=jax.random.PRNGKey(1),
+        )
+        assert np.abs(np.asarray(c["sigma"]) - np.asarray(a["sigma"])).max() > 0
+
+    def test_bf16_matmuls_close_to_f32(self):
+        cfg = small_mlp_cfg()
+        params = init_mlp_params(jax.random.PRNGKey(0), cfg)
+        pts = jnp.asarray(
+            np.random.default_rng(3).uniform(-1, 1, (64, 3)), jnp.float32
+        )
+        vd = jnp.asarray(
+            np.random.default_rng(4).uniform(-1, 1, (64, 3)), jnp.float32
+        )
+        f32 = apply_mlp(params, cfg, pts, vd)
+        bf16 = apply_mlp(params, cfg, pts, vd, bf16_matmuls=True)
+        assert np.abs(np.asarray(f32["rgb"]) - np.asarray(bf16["rgb"])).max() < 0.05
+
+
+class TestRenderRays:
+    def test_training_output_contract(self):
+        configs = small_configs()
+        params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)
+        batch = make_batch(nr=16, nf=3)
+        out = vip_nerf.render_rays(
+            params, configs, batch, train=True, rng=jax.random.PRNGKey(1)
+        )
+        nr = 16
+        ns_c, ns_f = 8, 8 + 16
+        for suffix, ns in (("coarse", ns_c), ("fine", ns_f)):
+            assert out[f"rgb_{suffix}"].shape == (nr, 3)
+            assert out[f"acc_{suffix}"].shape == (nr,)
+            assert out[f"depth_{suffix}"].shape == (nr,)
+            assert out[f"depth_var_{suffix}"].shape == (nr,)
+            assert out[f"weights_{suffix}"].shape == (nr, ns)
+            assert out[f"visibility_{suffix}"].shape == (nr, ns)
+            assert out[f"z_vals_{suffix}"].shape == (nr, ns)
+            assert out[f"raw_sigma_{suffix}"].shape == (nr, ns, 1)
+            assert out[f"raw_visibility_{suffix}"].shape == (nr, ns, 1)
+            assert out[f"raw_visibility2_{suffix}"].shape == (nr, ns, 2, 1)
+            assert out[f"visibility2_{suffix}"].shape == (nr, 2)
+
+    def test_inference_drops_intermediates(self):
+        configs = small_configs()
+        params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)
+        batch = make_batch(nr=8, with_poses=False)
+        out = vip_nerf.render_rays(params, configs, batch, train=False)
+        assert "rgb_fine" in out and "depth_fine" in out
+        for k in ("z_vals_coarse", "weights_fine", "visibility_coarse",
+                  "raw_sigma_fine"):
+            assert k not in out
+
+    def test_ndc_mode_outputs(self):
+        configs = small_configs()
+        configs["data_loader"]["ndc"] = True
+        params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)
+        batch = make_batch(nr=8, ndc=True)
+        out = vip_nerf.render_rays(
+            params, configs, batch, train=True, rng=jax.random.PRNGKey(2)
+        )
+        assert "depth_ndc_coarse" in out and "depth_var_ndc_fine" in out
+
+    def test_coarse_only(self):
+        configs = small_configs()
+        del configs["model"]["fine_mlp"]
+        params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)
+        assert "fine" not in params
+        batch = make_batch(nr=8)
+        out = vip_nerf.render_rays(
+            params, configs, batch, train=True, rng=jax.random.PRNGKey(1)
+        )
+        assert "rgb_coarse" in out and "rgb_fine" not in out
+
+    def test_secondary_origins_gather(self):
+        poses = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        poses[0, :3, 3] = [1, 0, 0]
+        poses[1, :3, 3] = [0, 2, 0]
+        poses[2, :3, 3] = [0, 0, 3]
+        pixel_id = jnp.asarray([[0, 5, 5], [1, 2, 2], [2, 0, 0]], jnp.int32)
+        o2 = vip_nerf._gather_secondary_origins(jnp.asarray(poses), pixel_id)
+        # ray from image 0 -> other origins are images 1, 2
+        np.testing.assert_allclose(np.asarray(o2[0]), [[0, 2, 0], [0, 0, 3]])
+        np.testing.assert_allclose(np.asarray(o2[1]), [[1, 0, 0], [0, 0, 3]])
+        np.testing.assert_allclose(np.asarray(o2[2]), [[1, 0, 0], [0, 2, 0]])
+
+    def test_rays_o2_passthrough_at_test_time(self):
+        configs = small_configs()
+        params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)
+        batch = make_batch(nr=8, with_poses=False)
+        batch["rays_o2"] = jnp.asarray(
+            np.random.default_rng(5).normal(size=(8, 2, 3)).astype(np.float32)
+        )
+        out = vip_nerf.render_rays(
+            params, configs, batch, train=False, sec_views_vis=True, retraw=True
+        )
+        assert out["visibility2_fine"].shape == (8, 2)
+
+    def test_gradients_flow(self):
+        configs = small_configs()
+        params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)
+        batch = make_batch(nr=8)
+        target = jnp.ones((8, 3)) * 0.5
+
+        def loss_fn(p):
+            out = vip_nerf.render_rays(
+                p, configs, batch, train=True, rng=jax.random.PRNGKey(3)
+            )
+            return jnp.mean((out["rgb_fine"] - target) ** 2) + jnp.mean(
+                (out["rgb_coarse"] - target) ** 2
+            )
+
+        grads = jax.grad(loss_fn)(params)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        total_norm = sum(float(jnp.sum(g ** 2)) for g in leaves)
+        assert total_norm > 0
+
+    def test_remat_matches(self):
+        configs = small_configs()
+        params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)
+        batch = make_batch(nr=8)
+        out1 = vip_nerf.render_rays(
+            params, configs, batch, train=True, rng=jax.random.PRNGKey(7)
+        )
+        configs["model"]["remat"] = True
+        out2 = vip_nerf.render_rays(
+            params, configs, batch, train=True, rng=jax.random.PRNGKey(7)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out1["rgb_fine"]), np.asarray(out2["rgb_fine"]), atol=1e-6
+        )

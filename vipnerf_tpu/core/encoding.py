@@ -1,0 +1,39 @@
+"""Sinusoidal positional encoding.
+
+Behavioral parity with the reference encoder
+(src/models/VipNeRF01.py:416-448 `PositionalEncoder`): include_input=True,
+log-sampled frequencies 2^0 .. 2^(degree-1), and per-frequency [sin, cos]
+blocks, i.e. the output layout is
+
+    [x, sin(2^0 x), cos(2^0 x), sin(2^1 x), cos(2^1 x), ...]
+
+with each block spanning the full input dimensionality.
+
+TPU notes: this is pure VPU work; XLA fuses it into the consumer matmul's
+producer. The fused Pallas MLP kernel (vipnerf_tpu.ops.fused_mlp) re-derives
+the same layout in-kernel so the encoded features never round-trip to HBM.
+"""
+
+import jax.numpy as jnp
+
+
+def encoding_dim(input_dim: int, degree: int) -> int:
+    """Output dim: input + sin/cos per frequency (reference :429,442)."""
+    return input_dim * (1 + 2 * degree)
+
+
+def positional_encoding(x: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """Encode `x` (..., d) -> (..., d * (1 + 2*degree)).
+
+    Frequencies are 2^0 .. 2^(degree-1) (log-sampled; reference :434-437 with
+    max_freq_log2 = degree - 1, num_freqs = degree; :494-507).
+    """
+    if degree <= 0:
+        return x
+    d = x.shape[-1]
+    freqs = 2.0 ** jnp.arange(degree, dtype=x.dtype)  # (degree,)
+    xf = x[..., None, :] * freqs[:, None]  # (..., degree, d)
+    # (..., degree, 2, d) -> flatten so each frequency contributes [sin, cos]
+    enc = jnp.stack([jnp.sin(xf), jnp.cos(xf)], axis=-2)
+    enc = enc.reshape(x.shape[:-1] + (degree * 2 * d,))
+    return jnp.concatenate([x, enc], axis=-1)

@@ -1,0 +1,151 @@
+"""Ray generation, NDC projection, and NDC<->metric depth conversion.
+
+Behavioral parity targets (paths relative to /root/reference/):
+- pinhole ray generation with the y/z sign flip:
+  src/data_preprocessors/DataPreprocessor01.py:335-352 `get_rays`
+- NDC projection: src/data_preprocessors/DataPreprocessor01.py:354-373
+- unit view dirs: src/data_preprocessors/DataPreprocessor01.py:375-378
+- metric depth -> NDC: src/data_preprocessors/DataPreprocessor01.py:439-447
+- NDC depth -> metric: src/models/VipNeRF01.py:386-403 (note the reference
+  hard-codes near=1 in both conversions; we keep that as the default so the
+  numerics match, but expose it as a parameter).
+
+TPU-first design: unlike the reference (a numpy per-image Python loop building
+a host-side cache), these are vectorized jnp functions usable both for
+building the device-resident ray cache once per scene and *inside* jitted
+render steps (rays are regenerated on-chip for full-image inference, which is
+cheaper than streaming a precomputed cache from host).
+"""
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def get_rays(
+    height: int,
+    width: int,
+    intrinsic: jnp.ndarray,
+    c2w: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel ray origins/directions for one camera.
+
+    `intrinsic`: (3, 3); `c2w`: (4, 4) or (3, 4) camera-to-world pose in the
+    NeRF convention (the reference's preprocessed pose). Returns
+    (rays_o, rays_d), each (h, w, 3). Matches reference get_rays (:335-352):
+    dirs = K^-1 [x, y, 1]; dirs[..., 1:] *= -1; rays_d = R @ dirs.
+    """
+    x = jnp.arange(width, dtype=jnp.float32)
+    y = jnp.arange(height, dtype=jnp.float32)
+    xx, yy = jnp.meshgrid(x, y, indexing="xy")  # (h, w)
+    ones = jnp.ones_like(xx)
+    pix = jnp.stack([xx, yy, ones], axis=-1)  # (h, w, 3)
+    k_inv = jnp.linalg.inv(intrinsic.astype(jnp.float32))
+    dirs = pix @ k_inv.T  # (h, w, 3)
+    dirs = dirs * jnp.asarray([1.0, -1.0, -1.0], dtype=jnp.float32)
+    rot = c2w[:3, :3].astype(jnp.float32)
+    rays_d = dirs @ rot.T  # row-vector form of R @ d
+    rays_o = jnp.broadcast_to(c2w[:3, 3].astype(jnp.float32), rays_d.shape)
+    return rays_o, rays_d
+
+
+def get_view_dirs(rays_d: jnp.ndarray) -> jnp.ndarray:
+    """Unit-norm view directions (reference :375-378)."""
+    return rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+
+def get_ndc_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    height: int,
+    width: int,
+    focal_x: jnp.ndarray,
+    focal_y: jnp.ndarray,
+    near: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Project rays to NDC space (reference :354-373).
+
+    Shifts origins to the near plane, then applies the standard LLFF NDC
+    projection. Shapes: (..., 3) -> (..., 3).
+    """
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    ox, oy, oz = rays_o[..., 0], rays_o[..., 1], rays_o[..., 2]
+    dx, dy, dz = rays_d[..., 0], rays_d[..., 1], rays_d[..., 2]
+
+    sx = -1.0 / (width / (2.0 * focal_x))
+    sy = -1.0 / (height / (2.0 * focal_y))
+
+    o0 = sx * ox / oz
+    o1 = sy * oy / oz
+    o2 = 1.0 + 2.0 * near / oz
+
+    d0 = sx * (dx / dz - ox / oz)
+    d1 = sy * (dy / dz - oy / oz)
+    d2 = -2.0 * near / oz
+
+    rays_o_ndc = jnp.stack([o0, o1, o2], axis=-1)
+    rays_d_ndc = jnp.stack([d0, d1, d2], axis=-1)
+    return rays_o_ndc, rays_d_ndc
+
+
+def depth_to_ndc(
+    depths: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float = 1.0,
+) -> jnp.ndarray:
+    """Metric depth (t along the un-shifted ray) -> NDC z' in [0, 1].
+
+    Matches reference convert_depth_to_ndc
+    (src/data_preprocessors/DataPreprocessor01.py:439-447) including the
+    hard-coded near=1 default (:434).
+    `depths`: (..., 1) or (...,); `rays_o`/`rays_d`: (..., 3).
+    """
+    oz = rays_o[..., 2:3]
+    dz = rays_d[..., 2:3]
+    tn = -(near + oz) / dz
+    oz_prime = oz + tn * dz
+    d = depths if depths.ndim == oz.ndim else depths[..., None]
+    ndc = 1.0 - oz_prime / (oz_prime + (d - tn) * dz)
+    return ndc if depths.ndim == oz.ndim else ndc[..., 0]
+
+
+def depth_from_ndc(
+    z_vals_ndc: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float = 1.0,
+) -> jnp.ndarray:
+    """NDC z' -> metric depth t_act (reference VipNeRF01.py:386-403).
+
+    t_act = ((oz + tn*dz) / dz) * (1 / (1 - z') - 1) + tn, with a 1e-3
+    stabilizer where z' == 1 exactly (reference :400).
+    `z_vals_ndc`: (num_rays, num_samples); rays (num_rays, 3).
+    """
+    oz = rays_o[..., 2:3]
+    dz = rays_d[..., 2:3]
+    tn = -(near + oz) / dz
+    constant = jnp.where(z_vals_ndc == 1.0, 1e-3, 0.0)
+    depth = (oz + tn * dz) / dz * (1.0 / (1.0 - z_vals_ndc + constant) - 1.0) + tn
+    return depth
+
+
+def ndc_z_to_ray_t(
+    z_vals_ndc: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float = 1.0,
+) -> jnp.ndarray:
+    """NDC z' -> parametric t for secondary-view-dir points.
+
+    Matches the inline conversion in compute_other_view_dirs
+    (src/models/VipNeRF01.py:219-222), which uses a 1e-6 stabilizer (distinct
+    from depth_from_ndc's formulation — kept separate on purpose).
+    """
+    oz = rays_o[..., 2:3]
+    dz = rays_d[..., 2:3]
+    tn = -(near + oz) / dz
+    t = ((oz + tn * dz) / (1.0 - z_vals_ndc + 1e-6) - oz) / dz
+    return t

@@ -1,0 +1,220 @@
+"""Synthetic scene generation: analytic test scenes + reference-layout
+database writer.
+
+The reference ships no test fixtures (SURVEY.md §4); this module provides
+them: a procedural scene (colored spheres in a box, rendered by an exact
+ray-marcher) written to disk in the exact NeRF_LLFF / RealEstate10K / DTU
+database layout (see vipnerf_tpu.data.loaders.base for the contract), so unit
+and end-to-end tests exercise the same loader/preprocessor/QA paths as real
+data.
+"""
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def look_at_w2c(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> np.ndarray:
+    """World-to-camera extrinsic for a camera at `eye` looking at `target`,
+    in the Colmap convention (+z forward) that the database stores."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    r = np.stack([right, down, fwd], axis=0)  # rows: camera axes in world
+    t = -r @ eye
+    w2c = np.eye(4)
+    w2c[:3, :3] = r
+    w2c[:3, 3] = t
+    return w2c
+
+
+class SphereScene:
+    """A few emissive spheres; supports exact color/depth rendering."""
+
+    def __init__(self, seed: int = 0, num_spheres: int = 4):
+        rng = np.random.default_rng(seed)
+        self.centers = rng.uniform(-0.6, 0.6, size=(num_spheres, 3))
+        self.centers[:, 2] = rng.uniform(-0.5, 0.5, size=num_spheres)
+        self.radii = rng.uniform(0.15, 0.3, size=num_spheres)
+        self.colors = rng.uniform(0.2, 1.0, size=(num_spheres, 3))
+        self.background = np.array([0.05, 0.05, 0.1])
+
+    def render(self, w2c: np.ndarray, intrinsic: np.ndarray, h: int, w: int):
+        """Exact ray-traced rgb (h, w, 3 in [0,1]) and depth (h, w)."""
+        c2w = np.linalg.inv(w2c)
+        x, y = np.meshgrid(np.arange(w, dtype=np.float64),
+                           np.arange(h, dtype=np.float64), indexing="xy")
+        pix = np.stack([x, y, np.ones_like(x)], axis=-1)
+        dirs_cam = pix @ np.linalg.inv(intrinsic).T  # +z forward (Colmap)
+        dirs = dirs_cam @ c2w[:3, :3].T
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        origin = c2w[:3, 3]
+
+        t_best = np.full((h, w), np.inf)
+        color = np.broadcast_to(self.background, (h, w, 3)).copy()
+        for c, r, col in zip(self.centers, self.radii, self.colors):
+            oc = origin - c
+            b = np.sum(dirs * oc, axis=-1)
+            disc = b ** 2 - (np.sum(oc ** 2) - r ** 2)
+            hit = disc > 0
+            t = -b - np.sqrt(np.where(hit, disc, 0.0))
+            valid = hit & (t > 1e-3) & (t < t_best)
+            t_best = np.where(valid, t, t_best)
+            color = np.where(valid[..., None], col, color)
+        depth = np.where(np.isfinite(t_best), t_best, 0.0)
+        return color, depth
+
+
+def make_camera_ring(
+    num_cameras: int,
+    radius: float = 3.0,
+    height: float = 0.4,
+    spread_deg: float = 40.0,
+) -> np.ndarray:
+    """w2c extrinsics on an arc looking at the origin (forward-facing rig)."""
+    angles = np.deg2rad(
+        np.linspace(-spread_deg / 2, spread_deg / 2, num_cameras)
+    )
+    mats = []
+    for a in angles:
+        eye = np.array([radius * np.sin(a), height, radius * np.cos(a)])
+        mats.append(look_at_w2c(eye, np.zeros(3), np.array([0.0, 1.0, 0.0])))
+    return np.stack(mats)
+
+
+def write_synthetic_database(
+    root: Path,
+    *,
+    dataset: str = "NeRF_LLFF",
+    scene_name: str = "synth01",
+    num_frames: int = 6,
+    set_num: int = 2,
+    train_frames=(0, 5),
+    val_frames=(2,),
+    height: int = 48,
+    width: int = 64,
+    seed: int = 0,
+    resolution_suffix: str = "",
+    with_sparse_depth: bool = True,
+    sparse_depth_dirname: str = "DE02",
+    with_visibility_prior: bool = True,
+    visibility_dirname: str = "VW02",
+    scene: Optional[SphereScene] = None,
+) -> Dict[str, np.ndarray]:
+    """Write a synthetic scene in the reference database layout.
+
+    Returns dict with the ground-truth arrays (images, extrinsics, intrinsics,
+    depths) for test assertions.
+    """
+    from vipnerf_tpu.utils.io import save_image
+
+    root = Path(root)
+    scene = scene or SphereScene(seed=seed)
+
+    split_dir = {"NeRF_LLFF": "all", "RealEstate10K": "test", "DTU": "all"}[dataset]
+    data_dir = root / dataset / "data"
+    scene_dir = data_dir / f"{split_dir}/database_data/{scene_name}"
+    rgb_dir = scene_dir / f"rgb{resolution_suffix}"
+    rgb_dir.mkdir(parents=True, exist_ok=True)
+
+    focal = 0.9 * width
+    intrinsic = np.array(
+        [[focal, 0, width / 2.0], [0, focal, height / 2.0], [0, 0, 1.0]]
+    )
+    extrinsics = make_camera_ring(num_frames)
+
+    images, depths = [], []
+    for i in range(num_frames):
+        rgb, depth = scene.render(extrinsics[i], intrinsic, height, width)
+        img8 = np.round(np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        save_image(rgb_dir / f"{i:04}.png", img8)
+        images.append(img8)
+        depths.append(depth)
+    images = np.stack(images)
+    depths = np.stack(depths)
+
+    np.savetxt(
+        scene_dir / "CameraExtrinsics.csv",
+        extrinsics.reshape(num_frames, 16),
+        delimiter=",",
+    )
+    np.savetxt(
+        scene_dir / f"CameraIntrinsics{resolution_suffix}.csv",
+        np.tile(intrinsic.reshape(1, 9), (num_frames, 1)),
+        delimiter=",",
+    )
+    pos_depths = np.where(depths > 0, depths, np.inf)
+    bounds = np.stack(
+        [
+            np.minimum(pos_depths.reshape(num_frames, -1).min(1), 1e3) * 0.8,
+            depths.reshape(num_frames, -1).max(1) * 1.2 + 1.0,
+        ],
+        axis=1,
+    )
+    np.savetxt(scene_dir / "DepthBounds.csv", bounds, delimiter=",")
+
+    # train/val/test split CSVs
+    sets_dir = data_dir / f"train_test_sets/set{set_num:02}"
+    sets_dir.mkdir(parents=True, exist_ok=True)
+    scene_key = "scene_name" if dataset == "NeRF_LLFF" else "scene_num"
+    scene_val = scene_name if dataset == "NeRF_LLFF" else int(scene_name)
+
+    def write_split(mode, frames):
+        lines = [f"{scene_key},pred_frame_num"]
+        lines += [f"{scene_val},{f}" for f in frames]
+        (sets_dir / f"{mode}VideosData.csv").write_text("\n".join(lines) + "\n")
+
+    test_frames = [
+        f for f in range(num_frames) if f not in train_frames and f not in val_frames
+    ]
+    write_split("Train", train_frames)
+    write_split("Validation", val_frames)
+    write_split("Test", test_frames)
+
+    if with_sparse_depth:
+        rng = np.random.default_rng(seed + 1)
+        sd_dir = (
+            data_dir
+            / f"{split_dir}/estimated_depths/{sparse_depth_dirname}/{scene_name}/estimated_depths{resolution_suffix}"
+        )
+        sd_dir.mkdir(parents=True, exist_ok=True)
+        for f in train_frames:
+            ys, xs = np.where(depths[f] > 0)
+            k = min(100, len(xs))
+            sel = rng.choice(len(xs), size=k, replace=False)
+            rows = ["x,y,depth,reprojection_error"]
+            for j in sel:
+                rows.append(
+                    f"{xs[j]},{ys[j]},{depths[f][ys[j], xs[j]]:.6f},{rng.uniform(0.1, 1.0):.4f}"
+                )
+            (sd_dir / f"{f:04}.csv").write_text("\n".join(rows) + "\n")
+
+    if with_visibility_prior:
+        vis_dir = data_dir / f"{split_dir}/visibility_prior/{visibility_dirname}/{scene_name}"
+        masks_dir = vis_dir / "visibility_masks"
+        weights_dir = vis_dir / "visibility_weights"
+        masks_dir.mkdir(parents=True, exist_ok=True)
+        weights_dir.mkdir(parents=True, exist_ok=True)
+        for f1 in train_frames:
+            for f2 in train_frames:
+                if f1 == f2:
+                    continue
+                # crude but valid prior: foreground pixels marked visible
+                mask = (depths[f1] > 0).astype(np.uint8) * 255
+                save_image(masks_dir / f"{f1:04}_{f2:04}.png", mask)
+                np.save(
+                    weights_dir / f"{f1:04}_{f2:04}.npy",
+                    (depths[f1] > 0).astype(np.float32) * 0.9 + 0.05,
+                )
+
+    return {
+        "images": images,
+        "depths": depths,
+        "extrinsics": extrinsics,
+        "intrinsics": np.tile(intrinsic[None], (num_frames, 1, 1)),
+        "bounds": bounds,
+        "scene": scene,
+    }

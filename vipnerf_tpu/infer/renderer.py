@@ -1,0 +1,159 @@
+"""Tiled full-image rendering.
+
+TPU-native replacement for the reference's chunked inference loops
+(src/models/VipNeRF01.py:47-72 `batchify_rays` and
+src/Trainer01.py:130-221 validation chunking, paths relative to
+/root/reference/): rays are padded to a static tile size and rendered by ONE
+jitted tile function (compiled once per config), looping tiles on host and
+assembling numpy outputs — device memory stays bounded by the tile, and every
+tile runs the identical XLA program.
+
+Only user-facing output keys are fetched to host (the reference instead
+deletes ~50 intermediate keys after the fact, Trainer01.py:197-221).
+"""
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Keys worth returning to host from a tile render (superset; missing ones are
+# skipped). Everything else (raw_*, weights, alpha, z_vals) stays on device.
+_KEEP_KEYS = (
+    "rgb_coarse", "rgb_fine",
+    "acc_coarse", "acc_fine",
+    "depth_coarse", "depth_fine",
+    "depth_var_coarse", "depth_var_fine",
+    "depth_ndc_coarse", "depth_ndc_fine",
+    "depth_var_ndc_coarse", "depth_var_ndc_fine",
+    "visibility2_coarse", "visibility2_fine",
+)
+
+
+def _split_batch(batch: Dict[str, Any], num_rays: int, tile: int):
+    """Pad ray-axis fields to a multiple of `tile` and yield tiles."""
+    num_tiles = (num_rays + tile - 1) // tile
+    padded = num_tiles * tile
+
+    ray_keys = [
+        k
+        for k, v in batch.items()
+        if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == num_rays
+    ]
+    padded_batch = {}
+    for k, v in batch.items():
+        if k in ray_keys and padded != num_rays:
+            pad_width = [(0, padded - num_rays)] + [(0, 0)] * (v.ndim - 1)
+            padded_batch[k] = jnp.pad(v, pad_width, mode="edge")
+        else:
+            padded_batch[k] = v
+
+    for t in range(num_tiles):
+        tile_batch = {}
+        for k, v in padded_batch.items():
+            if k in ray_keys:
+                tile_batch[k] = jax.lax.slice_in_dim(v, t * tile, (t + 1) * tile)
+            else:
+                tile_batch[k] = v
+        yield tile_batch
+
+
+class TiledRenderer:
+    """Renders arbitrary-size ray batches through a fixed-tile jitted fn."""
+
+    def __init__(
+        self,
+        render_fn: Callable,
+        configs: Dict[str, Any],
+        params_example=None,
+        loss_computer=None,
+    ):
+        self.render_fn = render_fn
+        self.configs = configs
+        self.loss_computer = loss_computer
+        self._jitted: Dict[Tuple, Callable] = {}
+
+    def _get_tile_fn(
+        self, sec_views_vis: bool, retraw: bool, with_losses: bool,
+        return_loss_maps: bool,
+    ) -> Callable:
+        key = (sec_views_vis, retraw, with_losses, return_loss_maps)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        def tile_fn(params, tile_batch):
+            out = self.render_fn(
+                params,
+                self.configs,
+                tile_batch,
+                train=False,
+                sec_views_vis=sec_views_vis,
+                retraw=retraw,
+            )
+            kept = {k: out[k] for k in _KEEP_KEYS if k in out}
+            losses = None
+            if with_losses and self.loss_computer is not None:
+                losses = self.loss_computer.compute_losses(
+                    tile_batch, out, return_loss_maps=return_loss_maps
+                )
+            return kept, losses
+
+        fn = jax.jit(tile_fn)
+        self._jitted[key] = fn
+        return fn
+
+    def render(
+        self,
+        params,
+        batch: Dict[str, Any],
+        *,
+        chunk_size: int = 65536,
+        sec_views_vis: bool = False,
+        retraw: bool = False,
+        with_losses: bool = False,
+        return_loss_maps: bool = False,
+    ):
+        """Render `batch` (nr rays), returning (outputs, losses).
+
+        outputs: dict of numpy arrays (nr, ...). losses: averaged loss dict
+        over tiles (reference merge semantics, Trainer01.py:147-172) with loss
+        maps concatenated, or None.
+        """
+        nr = int(batch["rays_o"].shape[0])
+        tile = min(chunk_size, nr)
+        fn = self._get_tile_fn(sec_views_vis, retraw, with_losses, return_loss_maps)
+
+        out_parts: Dict[str, List[np.ndarray]] = {}
+        loss_parts: List[Any] = []
+        for tile_batch in _split_batch(batch, nr, tile):
+            kept, losses = fn(params, tile_batch)
+            for k, v in kept.items():
+                out_parts.setdefault(k, []).append(np.asarray(v))
+            if losses is not None:
+                loss_parts.append(jax.device_get(losses))
+
+        outputs = {k: np.concatenate(v, axis=0)[:nr] for k, v in out_parts.items()}
+
+        merged_losses = None
+        if loss_parts:
+            merged_losses = {}
+            for name, val in loss_parts[0].items():
+                if isinstance(val, dict):
+                    merged_losses[name] = {
+                        "loss_value": float(
+                            np.mean([p[name]["loss_value"] for p in loss_parts])
+                        )
+                    }
+                    if return_loss_maps and "loss_maps" in val:
+                        merged_losses[name]["loss_maps"] = {
+                            mk: np.concatenate(
+                                [np.asarray(p[name]["loss_maps"][mk]) for p in loss_parts]
+                            )[:nr]
+                            for mk in val["loss_maps"]
+                        }
+                else:  # TotalLoss scalar
+                    merged_losses[name] = float(
+                        np.mean([p[name] for p in loss_parts])
+                    )
+        return outputs, merged_losses

@@ -1,0 +1,192 @@
+"""The ViP-NeRF MLP as a parameter pytree + pure apply function.
+
+Architecture parity target: src/models/VipNeRF01.py:451-596 (paths relative
+to /root/reference/):
+- trunk: `netdepth` x `netwidth` linear+ReLU with a skip at layer 4 that
+  concatenates [encoded_pts, h] (:466, 472-475, 537-544)
+- pts head: 1 sigma channel (+ optional 3 view-independent rgb) (:479-488);
+  training-time gaussian noise on raw sigma before ReLU (:549-553)
+- view branch (when view-dependent rgb or visibility prediction): feature
+  linear (W->W), concat encoded view dirs, one (W+views_in)->W/2 ReLU layer,
+  output linear -> [3 rgb sigmoid][1 visibility sigmoid] (:476-491, 568-596)
+- secondary views: the view branch is re-run with per-other-view encodings
+  against broadcast features -> per-point visibility2 (:527-530, 571-576).
+
+TPU-first design decisions:
+- Parameters are a plain nested-dict pytree (init matches torch.nn.Linear's
+  U(-1/sqrt(fan_in), +1/sqrt(fan_in)) so optimization dynamics match).
+- Apply is a pure function over flattened points; all matmuls go through
+  `_dense`, which optionally casts operands to bfloat16 for the MXU with
+  float32 accumulation (`preferred_element_type`) — toggled by
+  `bf16_matmuls` in the model config.
+- Weights are stored (in, out) so the hot matmul is (npts, in) @ (in, out)
+  with npts the large dimension — the natural MXU layout.
+"""
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vipnerf_tpu.core.encoding import encoding_dim, positional_encoding
+
+Params = Dict[str, Any]
+
+
+def _linear_init(key: jax.Array, fan_in: int, fan_out: int) -> Dict[str, jnp.ndarray]:
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, dtype=jnp.float32))
+    wk, bk = jax.random.split(key)
+    w = jax.random.uniform(wk, (fan_in, fan_out), jnp.float32, -bound, bound)
+    b = jax.random.uniform(bk, (fan_out,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def mlp_feature_dims(mlp_cfg: Dict[str, Any]) -> Dict[str, int]:
+    """Static dims derived from an mlp config block (coarse_mlp / fine_mlp)."""
+    pts_in = encoding_dim(3, mlp_cfg["points_positional_encoding_degree"])
+    views_in = (
+        encoding_dim(3, mlp_cfg["views_positional_encoding_degree"])
+        if mlp_cfg["use_view_dirs"]
+        else 0
+    )
+    view_dep_rgb = mlp_cfg["view_dependent_rgb"]
+    predict_visibility = mlp_cfg["predict_visibility"]
+    pts_out = 1 + (0 if view_dep_rgb else 3)  # sigma [+ rgb]
+    views_out = (3 if view_dep_rgb else 0) + (1 if predict_visibility else 0)
+    return {
+        "pts_in": pts_in,
+        "views_in": views_in,
+        "pts_out": pts_out,
+        "views_out": views_out,
+    }
+
+
+def init_mlp_params(key: jax.Array, mlp_cfg: Dict[str, Any]) -> Params:
+    """Build the parameter pytree for one MLP (coarse or fine)."""
+    depth = mlp_cfg["netdepth"]
+    width = mlp_cfg["netwidth"]
+    dims = mlp_feature_dims(mlp_cfg)
+    skips = (4,)
+    view_dep_outputs = mlp_cfg["view_dependent_rgb"] or mlp_cfg["predict_visibility"]
+
+    keys = jax.random.split(key, depth + 4)
+    params: Params = {"pts_linears": []}
+    in_dim = dims["pts_in"]
+    for i in range(depth):
+        params["pts_linears"].append(_linear_init(keys[i], in_dim, width))
+        # skip concat happens AFTER layer i's relu when i in skips
+        in_dim = width + dims["pts_in"] if i in skips else width
+    params["pts_output_linear"] = _linear_init(keys[depth], width, dims["pts_out"])
+    if view_dep_outputs:
+        params["feature_linear"] = _linear_init(keys[depth + 1], width, width)
+        params["views_linears"] = [
+            _linear_init(keys[depth + 2], dims["views_in"] + width, width // 2)
+        ]
+        params["views_output_linear"] = _linear_init(
+            keys[depth + 3], width // 2, dims["views_out"]
+        )
+    return params
+
+
+def _dense(
+    x: jnp.ndarray, layer: Dict[str, jnp.ndarray], bf16: bool
+) -> jnp.ndarray:
+    """x @ w + b, optionally with bf16 MXU operands / f32 accumulation."""
+    w = layer["w"]
+    if bf16:
+        x = x.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y + layer["b"]
+
+
+def apply_mlp(
+    params: Params,
+    mlp_cfg: Dict[str, Any],
+    pts: jnp.ndarray,
+    view_dirs: Optional[jnp.ndarray] = None,
+    view_dirs2: Optional[jnp.ndarray] = None,
+    *,
+    raw_noise_std: float = 0.0,
+    noise_key: Optional[jax.Array] = None,
+    bf16_matmuls: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Evaluate the MLP on flattened points.
+
+    pts: (npts, 3); view_dirs: (npts, 3) or None; view_dirs2:
+    (npts, nf-1, 3) or None. Returns a dict mirroring the reference MLP
+    forward (:509-535): sigma (npts, 1), rgb (npts, 3), plus
+    rgb_view_independent / rgb_view_dependent / visibility / visibility2 as
+    configured. sigma noise is applied when noise_key is given (training).
+    """
+    skips = (4,)
+    view_dep_rgb = mlp_cfg["view_dependent_rgb"]
+    predict_visibility = mlp_cfg["predict_visibility"]
+    view_dep_outputs = view_dep_rgb or predict_visibility
+
+    enc_pts = positional_encoding(
+        pts, mlp_cfg["points_positional_encoding_degree"]
+    )
+
+    out: Dict[str, jnp.ndarray] = {}
+
+    # Trunk (reference get_view_independent_outputs :537-544)
+    h = enc_pts
+    for i, layer in enumerate(params["pts_linears"]):
+        h = jax.nn.relu(_dense(h, layer, bf16_matmuls))
+        if i in skips:
+            h = jnp.concatenate([enc_pts, h], axis=-1)
+
+    pts_output = _dense(h, params["pts_output_linear"], bf16_matmuls)
+    sigma = pts_output[..., 0:1]
+    if noise_key is not None and raw_noise_std > 0.0:
+        sigma = sigma + raw_noise_std * jax.random.normal(
+            noise_key, sigma.shape, sigma.dtype
+        )
+    out["sigma"] = jax.nn.relu(sigma)
+
+    if not view_dep_rgb:
+        rgb = jax.nn.sigmoid(pts_output[..., 1:4])
+        out["rgb_view_independent"] = rgb
+
+    if view_dep_outputs:
+        assert view_dirs is not None, "view-dependent outputs need view_dirs"
+        feature = _dense(h, params["feature_linear"], bf16_matmuls)
+
+        def view_branch(enc_views: jnp.ndarray, feat: jnp.ndarray):
+            """Reference get_view_dependent_outputs (:568-596)."""
+            hv = jnp.concatenate([feat, enc_views], axis=-1)
+            for layer in params["views_linears"]:
+                hv = jax.nn.relu(_dense(hv, layer, bf16_matmuls))
+            view_out = _dense(hv, params["views_output_linear"], bf16_matmuls)
+            branch: Dict[str, jnp.ndarray] = {}
+            ch = 0
+            if view_dep_rgb:
+                branch["rgb_view_dependent"] = jax.nn.sigmoid(view_out[..., ch:ch + 3])
+                ch += 3
+            if predict_visibility:
+                branch["visibility"] = jax.nn.sigmoid(view_out[..., ch:ch + 1])
+            return branch
+
+        enc_views = positional_encoding(
+            view_dirs, mlp_cfg["views_positional_encoding_degree"]
+        )
+        primary = view_branch(enc_views, feature)
+        out.update(primary)
+        if view_dep_rgb:
+            rgb = primary["rgb_view_dependent"]
+
+        if predict_visibility and view_dirs2 is not None:
+            # (npts, nf-1, 3) -> broadcast features over the other-view axis
+            enc_views2 = positional_encoding(
+                view_dirs2, mlp_cfg["views_positional_encoding_degree"]
+            )
+            nf_m1 = view_dirs2.shape[-2]
+            feat2 = jnp.broadcast_to(
+                feature[..., None, :], feature.shape[:-1] + (nf_m1, feature.shape[-1])
+            )
+            out["visibility2"] = view_branch(enc_views2, feat2)["visibility"]
+
+    out["rgb"] = rgb
+    return out

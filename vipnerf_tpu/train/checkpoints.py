@@ -1,0 +1,76 @@
+"""Checkpointing with the reference's on-disk naming contract.
+
+Parity target (src/Trainer01.py:352-381, paths relative to /root/reference/):
+- saved_models/Model_Iter{NNNNNN:06}.ckpt containing
+  {iteration_num, model_state_dict, optimizer_state_dict}
+- saved_models/Model_Latest.ckpt as a *relative* symlink to the newest file
+- load restores params + optimizer state + iteration.
+
+Implementation: pytrees are converted with flax.serialization.to_state_dict
+(namedtuple optimizer states become plain dicts) and written as a single
+msgpack file — crash-safe via write-to-temp + atomic rename.
+"""
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    save_dir: Path,
+    iteration_num: int,
+    params: Any,
+    opt_state: Any,
+) -> Path:
+    """Write Model_Iter{iter:06}.ckpt + refresh the Model_Latest symlink."""
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    state = {
+        "iteration_num": iteration_num,
+        "model_state_dict": flax.serialization.to_state_dict(_to_numpy(params)),
+        "optimizer_state_dict": flax.serialization.to_state_dict(
+            _to_numpy(opt_state)
+        ),
+    }
+    blob = flax.serialization.msgpack_serialize(state)
+    path = save_dir / f"Model_Iter{iteration_num:06}.ckpt"
+    tmp = path.with_suffix(".ckpt.tmp")
+    tmp.write_bytes(blob)
+    os.replace(tmp, path)
+
+    latest = save_dir / "Model_Latest.ckpt"
+    if latest.is_symlink() or latest.exists():
+        latest.unlink()
+    latest.symlink_to(path.name)  # relative symlink (reference :361-365)
+    return path
+
+
+def load_checkpoint(
+    path: Path, params_template: Any, opt_state_template: Any
+) -> Tuple[int, Any, Any]:
+    """Restore (iteration_num, params, opt_state) into the given templates."""
+    blob = Path(path).read_bytes()
+    state = flax.serialization.msgpack_restore(blob)
+    params = flax.serialization.from_state_dict(
+        params_template, state["model_state_dict"]
+    )
+    opt_state = flax.serialization.from_state_dict(
+        opt_state_template, state["optimizer_state_dict"]
+    )
+    return int(state["iteration_num"]), params, opt_state
+
+
+def latest_checkpoint(save_dir: Path) -> Optional[Path]:
+    latest = Path(save_dir) / "Model_Latest.ckpt"
+    if latest.exists():
+        return latest
+    candidates = sorted(Path(save_dir).glob("Model_Iter*.ckpt"))
+    return candidates[-1] if candidates else None

@@ -1,0 +1,180 @@
+"""The jitted train step and the scanned multi-step chunk.
+
+This is the TPU-native replacement for the reference training inner loop
+(src/Trainer01.py:61-107 `train_one_iter`, paths relative to /root/reference/):
+one iteration = gather batch -> render -> losses -> backward -> Adam step.
+Differences by design:
+
+- The whole iteration is ONE traced computation (gather included), and K
+  iterations run inside a single `lax.scan` ("step batching"), so the host
+  dispatches once per K steps instead of ~8 times per step. This is where the
+  >5M rays/s/chip target is won: at 4096 rays/step the per-step Python+dispatch
+  cost would otherwise dominate.
+- Gradient accumulation (reference sub_batch_size, :82-102) is supported via
+  `sub_batch_size`: the batch is split into equal sub-batches whose grads are
+  averaged... summed (the reference sums sub-batch losses' grads) inside the
+  step — no host involvement.
+- The LR schedule is an optax schedule inside the optimizer (reference mutates
+  param_groups per iteration, :293-295).
+- Multi-chip: batch index arrays are sharded over the ray axis of the mesh;
+  parameters are replicated; XLA inserts the grad psum over ICI.
+"""
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vipnerf_tpu.losses.computer import LossComputer
+from vipnerf_tpu.train.lr_schedules import get_lr_schedule
+
+
+def make_optimizer(configs: Dict[str, Any]) -> optax.GradientTransformation:
+    """Adam with the configured schedule (reference Trainer01.py:519-521)."""
+    opt_cfg = configs["optimizer"]
+    schedule = get_lr_schedule(configs)
+    return optax.adam(
+        learning_rate=schedule,
+        b1=opt_cfg.get("beta1", 0.9),
+        b2=opt_cfg.get("beta2", 0.999),
+    )
+
+
+def make_train_step(
+    configs: Dict[str, Any],
+    render_fn: Callable,
+    loss_computer: LossComputer,
+    tx: optax.GradientTransformation,
+) -> Callable:
+    """Build train_step(params, opt_state, batch, rng) -> (params, opt_state,
+    loss_scalars)."""
+    sub_batch_size = configs.get("sub_batch_size")
+
+    def loss_fn(params, batch, rng):
+        outputs = render_fn(params, configs, batch, train=True, rng=rng)
+        losses = loss_computer.compute_losses(batch, outputs)
+        scalars = {
+            k: (v["loss_value"] if isinstance(v, dict) else v)
+            for k, v in losses.items()
+        }
+        return losses["TotalLoss"], scalars
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(params, opt_state, batch, rng):
+        if sub_batch_size is None:
+            (_, scalars), grads = grad_fn(params, batch, rng)
+        else:
+            # Gradient accumulation: sum grads over equal sub-batches
+            # (reference repeatedly calls backward before one step, :84-102).
+            nr = batch["rays_o"].shape[0]
+            assert nr % sub_batch_size == 0, (
+                "sub_batch_size must divide the batch for a static scan"
+            )
+            n_sub = nr // sub_batch_size
+
+            sliced_keys = [
+                k
+                for k, v in batch.items()
+                if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == nr
+            ]
+
+            def sub_batch(i):
+                out = dict(batch)
+                for k in sliced_keys:
+                    out[k] = jax.lax.dynamic_slice_in_dim(
+                        batch[k], i * sub_batch_size, sub_batch_size, axis=0
+                    )
+                return out
+
+            def body(carry, i):
+                acc_grads = carry
+                (_, scalars_i), grads_i = grad_fn(
+                    params, sub_batch(i), jax.random.fold_in(rng, i)
+                )
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads_i)
+                return acc_grads, scalars_i
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            grads, scalars_all = jax.lax.scan(
+                body, zero_grads, jnp.arange(n_sub)
+            )
+            scalars = jax.tree_util.tree_map(jnp.sum, scalars_all)
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, scalars
+
+    return train_step
+
+
+def make_scan_train(
+    configs: Dict[str, Any],
+    gather_batch: Callable,
+    train_step: Callable,
+    *,
+    donate: bool = True,
+) -> Callable:
+    """Build the scanned multi-step update.
+
+    scan_train(params, opt_state, base_key, start_iter,
+               nerf_indices (K, nr), sd_indices (K, nr_sd) | None)
+      -> (params, opt_state, loss_scalars stacked over K)
+
+    `gather_batch` is the preprocessor's pure device gather; index blocks come
+    from the host once per chunk (vipnerf_tpu.data.preprocessor.get_index_chunk).
+    """
+
+    def scan_train(params, opt_state, base_key, start_iter, nerf_idx, sd_idx):
+        k_steps = nerf_idx.shape[0]
+        step_ids = jnp.arange(k_steps)
+
+        def body(carry, xs):
+            params, opt_state = carry
+            step_i, nerf_i, sd_i = xs
+            iter_num = start_iter + step_i
+            batch = gather_batch(nerf_i, sd_i, iter_num)
+            rng = jax.random.fold_in(base_key, iter_num)
+            params, opt_state, scalars = train_step(
+                params, opt_state, batch, rng
+            )
+            return (params, opt_state), scalars
+
+        (params, opt_state), scalars = jax.lax.scan(
+            body, (params, opt_state), (step_ids, nerf_idx, sd_idx)
+        )
+        return params, opt_state, scalars
+
+    return jax.jit(scan_train, donate_argnums=(0, 1) if donate else ())
+
+
+def make_scan_train_nosd(
+    configs: Dict[str, Any],
+    gather_batch: Callable,
+    train_step: Callable,
+    *,
+    donate: bool = True,
+) -> Callable:
+    """Variant without the sparse-depth index stream."""
+
+    def scan_train(params, opt_state, base_key, start_iter, nerf_idx):
+        k_steps = nerf_idx.shape[0]
+        step_ids = jnp.arange(k_steps)
+
+        def body(carry, xs):
+            params, opt_state = carry
+            step_i, nerf_i = xs
+            iter_num = start_iter + step_i
+            batch = gather_batch(nerf_i, None, iter_num)
+            rng = jax.random.fold_in(base_key, iter_num)
+            params, opt_state, scalars = train_step(params, opt_state, batch, rng)
+            return (params, opt_state), scalars
+
+        (params, opt_state), scalars = jax.lax.scan(
+            body, (params, opt_state), (step_ids, nerf_idx)
+        )
+        return params, opt_state, scalars
+
+    return jax.jit(scan_train, donate_argnums=(0, 1) if donate else ())
