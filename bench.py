@@ -1,0 +1,226 @@
+"""Headline benchmark: ViP-NeRF training throughput on one TPU chip.
+
+Reference workload (BASELINE.md): 2048 NeRF rays + 2048 sparse-depth rays per
+iteration, 64 coarse + 64+128 fine samples, two 8x256 MLPs (PE 10/4), full
+ViP-NeRF loss stack, Adam. The reference runs this on 2 CUDA GPUs with
+torch.nn.DataParallel and Python-loop chunking; here it's one jitted
+lax.scan over K iterations with an on-device ray cache.
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": value / 5e6}   # 5M rays/s/chip = BASELINE.json north star
+
+Env knobs: BENCH_BF16=0 to disable bf16 matmuls, BENCH_STEPS, BENCH_REMAT=1.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from vipnerf_tpu.data.preprocessor import DataPreprocessor
+    from vipnerf_tpu.data.synthetic import SphereScene, make_camera_ring
+    from vipnerf_tpu.losses import LossComputer
+    from vipnerf_tpu.models import get_model
+    from vipnerf_tpu.train.step import (
+        default_step_dispatch,
+        make_host_loop_train,
+        make_optimizer,
+        make_scan_train,
+        make_train_step,
+    )
+
+    bf16 = os.environ.get("BENCH_BF16", "1") == "1"
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    k_steps = int(os.environ.get("BENCH_STEPS", "50"))
+    num_rays = 2048
+    num_rays_sd = 2048
+
+    # Reference-scale scene: 2 train views at LLFF down4 resolution 756x1008.
+    h, w = 756, 1008
+    scene = SphereScene(seed=0)
+    extrinsics = make_camera_ring(2)
+    focal = 0.9 * w
+    intrinsic = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1.0]])
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, size=(2, h, w, 3), dtype=np.uint8)
+
+    configs = {
+        "data_loader": {
+            "data_loader_name": "NerfLlffDataLoader01",
+            "data_preprocessor_name": "DataPreprocessor01",
+            "recenter_camera_poses": True,
+            "bd_factor": 0.75,
+            "spherify": False,
+            "ndc": True,
+            "batching": True,
+            "downsampling_factor": 1,
+            "num_rays": num_rays,
+            "visibility_prior": {
+                "load_masks": True, "load_weights": False, "masks_dirname": "VW02",
+            },
+            "sparse_depth": {"dirname": "DE02", "num_rays": num_rays_sd},
+        },
+        "model": {
+            "name": "VipNeRF01",
+            "coarse_mlp": {
+                "num_samples": 64, "netdepth": 8, "netwidth": 256,
+                "points_positional_encoding_degree": 10,
+                "views_positional_encoding_degree": 4,
+                "use_view_dirs": True, "view_dependent_rgb": True,
+                "predict_visibility": True,
+            },
+            "fine_mlp": {
+                "num_samples": 128, "netdepth": 8, "netwidth": 256,
+                "points_positional_encoding_degree": 10,
+                "views_positional_encoding_degree": 4,
+                "use_view_dirs": True, "view_dependent_rgb": True,
+                "predict_visibility": True,
+            },
+            "chunk": 4096, "lindisp": False, "netchunk": 16384,
+            "perturb": True, "raw_noise_std": 1.0, "white_bkgd": False,
+            "bf16_matmuls": bf16, "remat": remat,
+        },
+        "losses": [
+            {"name": "MSE01", "weight": 1},
+            {"name": "VisibilityLoss01", "weight": 0.1},
+            {"name": "VisibilityPriorLoss01",
+             "iter_weights": {"0": 0, "30000": 0.001}},
+            {"name": "SparseDepthMSE01", "weight": 0.1},
+        ],
+        "optimizer": {
+            "lr_decayer_name": "NeRFLearningRateDecayer01",
+            "lr_initial": 5e-4, "lr_decay": 250, "beta1": 0.9, "beta2": 0.999,
+        },
+        "seed": 0,
+    }
+
+    # Synthetic raw data in the loader's output format -> real preprocessor
+    bounds = np.array([1.8, 5.5])
+    n_train = 2
+    depths = np.full((n_train, h, w), 3.0)
+    raw = {
+        "frame_nums": np.arange(n_train),
+        "nerf_data": {
+            "images": images,
+            "extrinsics": extrinsics,
+            "intrinsics": np.tile(intrinsic[None], (n_train, 1, 1)),
+            "resolution": (h, w),
+            "bounds": bounds,
+        },
+        "sparse_depth_data": {
+            f: _fake_sparse_depth(rng, h, w, depths[f]) for f in range(n_train)
+        },
+        "visibility_prior_data": {
+            "masks": rng.random((n_train, n_train - 1, h, w)) > 0.3,
+        },
+    }
+
+    prep = DataPreprocessor(configs, "train", raw)
+    init_fn, render_fn = get_model(configs)
+    params = init_fn(jax.random.PRNGKey(0), configs)
+    loss_computer = LossComputer(configs)
+    tx = make_optimizer(configs)
+    opt_state = tx.init(params)
+    train_step = make_train_step(configs, render_fn, loss_computer, tx)
+    dispatch = os.environ.get("BENCH_DISPATCH", default_step_dispatch())
+    if dispatch == "host":
+        scan_train = make_host_loop_train(
+            configs, prep.gather_batch, train_step, with_sd=True
+        )
+    else:
+        scan_train = make_scan_train(configs, prep.gather_batch, train_step)
+    key = jax.random.PRNGKey(0)
+
+    # Warmup / compile. The axon TPU backend currently fails register
+    # allocation on the bf16 fused train step (Mosaic RET_CHECK in
+    # live_range_finder) — fall back to f32 so the bench always reports.
+    def warmup(params, opt_state, scan_fn):
+        nerf_idx, sd_idx = prep.get_index_chunk(0, k_steps)
+        t0 = time.time()
+        params, opt_state, scalars = scan_fn(
+            params, opt_state, key, 0, jnp.asarray(nerf_idx), jnp.asarray(sd_idx)
+        )
+        jax.block_until_ready(scalars)
+        return params, opt_state, time.time() - t0
+
+    try:
+        params, opt_state, compile_time = warmup(params, opt_state, scan_train)
+    except Exception as e:  # noqa: BLE001 - backend compile failure
+        if not bf16:
+            raise
+        print(f"# bf16 compile failed ({type(e).__name__}); retrying f32",
+              file=__import__("sys").stderr)
+        bf16 = False
+        configs["model"]["bf16_matmuls"] = False
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        opt_state = tx.init(params)
+        train_step = make_train_step(configs, render_fn, loss_computer, tx)
+        if dispatch == "host":
+            scan_train = make_host_loop_train(
+                configs, prep.gather_batch, train_step, with_sd=True
+            )
+        else:
+            scan_train = make_scan_train(configs, prep.gather_batch, train_step)
+        params, opt_state, compile_time = warmup(params, opt_state, scan_train)
+
+    # Timed runs
+    times = []
+    it = k_steps
+    for _ in range(3):
+        nerf_idx, sd_idx = prep.get_index_chunk(it, k_steps)
+        nerf_idx = jnp.asarray(nerf_idx)
+        sd_idx = jnp.asarray(sd_idx)
+        jax.block_until_ready((nerf_idx, sd_idx))
+        t0 = time.time()
+        params, opt_state, scalars = scan_train(
+            params, opt_state, key, it, nerf_idx, sd_idx
+        )
+        jax.block_until_ready(scalars)
+        times.append(time.time() - t0)
+        it += k_steps
+
+    best = min(times)
+    rays_per_step = num_rays + num_rays_sd
+    value = k_steps * rays_per_step / best
+    result = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(value / 5e6, 4),
+    }
+    print(json.dumps(result))
+    # diagnostics to stderr-adjacent lines (driver reads the JSON line)
+    import sys
+
+    print(
+        f"# device={jax.devices()[0].device_kind} bf16={bf16} remat={remat} "
+        f"steps/chunk={k_steps} compile={compile_time:.1f}s "
+        f"step={best / k_steps * 1e3:.2f}ms total_loss={float(scalars['TotalLoss'][-1]):.4f}",
+        file=sys.stderr,
+    )
+
+
+def _fake_sparse_depth(rng, h, w, depth_img):
+    import pandas as pd
+
+    k = 300
+    xs = rng.integers(0, w, k)
+    ys = rng.integers(0, h, k)
+    return pd.DataFrame(
+        {
+            "x": xs,
+            "y": ys,
+            "depth": depth_img[ys, xs],
+            "reprojection_error": rng.uniform(0.1, 1.0, k),
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""End-to-end pipeline test: synthetic database -> start_training ->
+start_testing -> QA metrics, on the virtual multi-device CPU mesh.
+
+This is the framework's acceptance test (the reference has none; SURVEY.md §4
+defines QA-as-test as the de-facto strategy, which this mirrors in miniature).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vipnerf_tpu.data.synthetic import write_synthetic_database
+
+
+def small_train_configs(root: Path, num_iterations=60):
+    return {
+        "trainer": "VipNerfTpuTrainer",
+        "train_num": 1,
+        "database": "NeRF_LLFF",
+        "database_dirpath": "databases/NeRF_LLFF/data",
+        "root_dirpath": str(root),
+        "data_loader": {
+            "data_loader_name": "NerfLlffDataLoader01",
+            "data_preprocessor_name": "DataPreprocessor01",
+            "train_set_num": 2,
+            "scene_names": ["synth01"],
+            "resolution_suffix": "",
+            "recenter_camera_poses": True,
+            "bd_factor": 0.75,
+            "spherify": False,
+            "ndc": False,
+            "batching": True,
+            "downsampling_factor": 1,
+            "num_rays": 256,
+            "precrop_fraction": 1,
+            "precrop_iterations": -1,
+            "visibility_prior": {
+                "load_masks": True,
+                "load_weights": False,
+                "masks_dirname": "VW02",
+            },
+            "sparse_depth": {"dirname": "DE02", "num_rays": 128},
+        },
+        "model": {
+            "name": "VipNeRF01",
+            "coarse_mlp": {
+                "num_samples": 16,
+                "netdepth": 6,
+                "netwidth": 32,
+                "points_positional_encoding_degree": 4,
+                "views_positional_encoding_degree": 2,
+                "use_view_dirs": True,
+                "view_dependent_rgb": True,
+                "predict_visibility": True,
+            },
+            "chunk": 4096,
+            "lindisp": False,
+            "netchunk": 16384,
+            "perturb": True,
+            "raw_noise_std": 1.0,
+            "white_bkgd": False,
+        },
+        "losses": [
+            {"name": "MSE01", "weight": 1},
+            {"name": "VisibilityLoss01", "weight": 0.1},
+            {"name": "SparseDepthMSE01", "weight": 0.1},
+            {"name": "VisibilityPriorLoss01", "iter_weights": {"0": 0, "30": 0.001}},
+        ],
+        "optimizer": {
+            "lr_decayer_name": "NeRFLearningRateDecayer01",
+            "lr_initial": 5e-4,
+            "lr_decay": 250,
+            "beta1": 0.9,
+            "beta2": 0.999,
+        },
+        "resume_training": True,
+        "num_iterations": num_iterations,
+        "scan_steps": 20,
+        "validation_interval": 30,
+        "validation_chunk_size": 1024,
+        "validation_save_loss_maps": True,
+        "model_save_interval": 30,
+        "seed": 0,
+        "device": [0],
+    }
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    db_root = root / "data/databases"
+    write_synthetic_database(
+        db_root,
+        scene_name="synth01",
+        num_frames=6,
+        train_frames=(0, 5),
+        val_frames=(2,),
+        height=32,
+        width=40,
+    )
+    return root
+
+
+class TestEndToEnd:
+    def test_full_pipeline(self, synth_root):
+        from vipnerf_tpu.infer import start_testing
+        from vipnerf_tpu.qa import run_all_qa
+        from vipnerf_tpu.train import start_training
+
+        configs = small_train_configs(synth_root)
+        start_training(configs)
+
+        train_dir = synth_root / "runs/training/train0001"
+        scene_dir = train_dir / "synth01"
+        # runs/ output contract
+        assert (train_dir / "Configs.json").exists()
+        assert (scene_dir / "ModelConfigs.json").exists()
+        assert (scene_dir / "saved_models/Model_Iter000060.ckpt").exists()
+        assert (scene_dir / "saved_models/Model_Latest.ckpt").is_symlink()
+        assert (scene_dir / "logs/scalars.jsonl").exists()
+        samples = list((scene_dir / "samples/predicted_frames").glob("*.png"))
+        assert len(samples) > 0
+        assert len(list((scene_dir / "samples/Losses").glob("*.npy"))) > 0
+
+        mc = json.loads((scene_dir / "ModelConfigs.json").read_text())
+        assert mc["resolution"] == [32, 40]
+        assert "translation_scale" in mc and "average_pose" in mc
+
+        # losses descend
+        scalars = [
+            json.loads(line)
+            for line in (scene_dir / "logs/scalars.jsonl").read_text().splitlines()
+        ]
+        total = [s["value"] for s in scalars if s["tag"] == "train/TotalLoss"]
+        assert len(total) == 60
+        assert np.mean(total[-10:]) < np.mean(total[:10])
+
+        # ---- testing ----
+        test_configs = {
+            "tester": "VipNerfTpuTester",
+            "test_num": 1,
+            "test_set_num": 2,
+            "train_num": 1,
+            "model_name": "Model_Latest.ckpt",
+            "database": "NeRF_LLFF",
+            "database_dirpath": "databases/NeRF_LLFF/data",
+            "root_dirpath": str(synth_root),
+            "device": [0],
+            "chunk_size": 1024,
+        }
+        db_dir = synth_root / "data/databases/NeRF_LLFF/data"
+        extr = np.loadtxt(
+            db_dir / "all/database_data/synth01/CameraExtrinsics.csv", delimiter=","
+        ).reshape(-1, 4, 4)
+        intr = np.loadtxt(
+            db_dir / "all/database_data/synth01/CameraIntrinsics.csv", delimiter=","
+        ).reshape(-1, 3, 3)
+        scenes_data = {
+            "synth01": {
+                "output_dirname": "synth01",
+                "frames_data": {
+                    f: {
+                        "extrinsic": extr[f],
+                        "intrinsic": intr[f],
+                        "is_train_frame": f in (0, 5),
+                    }
+                    for f in (0, 1, 3, 4, 5)
+                },
+            }
+        }
+        out_dir = start_testing(
+            test_configs,
+            scenes_data,
+            save_depth=True,
+            save_depth_var=True,
+            save_visibility=True,
+        )
+        test_dir = synth_root / "runs/testing/test0001/synth01"
+        for f in (0, 1, 3, 4, 5):
+            assert (test_dir / f"predicted_frames/{f:04}.png").exists()
+            assert (test_dir / f"predicted_depths/{f:04}.npy").exists()
+            assert (test_dir / f"predicted_depths_variance/{f:04}.npy").exists()
+        # visibility only for train frames
+        assert (test_dir / "predicted_visibilities/0000_0005.npy").exists()
+        assert not (test_dir / "predicted_visibilities/0001_0005.npy").exists()
+
+        # skip-if-exists idempotency: second run should not re-render
+        mtime = (test_dir / "predicted_frames/0001.png").stat().st_mtime
+        start_testing(test_configs, scenes_data, save_depth=True,
+                      save_depth_var=True, save_visibility=True)
+        assert (test_dir / "predicted_frames/0001.png").stat().st_mtime == mtime
+
+        # ---- QA ----
+        results = run_all_qa(
+            "NeRF_LLFF",
+            synth_root / "runs/testing/test0001",
+            db_dir,
+            db_dir / "train_test_sets/set02/TestVideosData.csv",
+        )
+        assert results["PSNR"] is not None and results["PSNR"] > 10
+        assert results["RMSE"] is not None
+        assert 0 <= results["SSIM"] <= 1
+        qa_dir = synth_root / "runs/testing/test0001"
+        assert (qa_dir / "QA_Scores.json").exists()
+        assert (
+            qa_dir / "QA_Scores/predicted_frames/PSNR02_FrameWise.csv"
+        ).exists()
+        assert (
+            qa_dir / "QA_Scores/predicted_frames/PSNR02_SceneWise.csv"
+        ).exists()
+        scores = json.loads((qa_dir / "QA_Scores.json").read_text())
+        assert "PSNR02" in scores["predicted_frames"]
+
+    def test_resume_training(self, synth_root):
+        from vipnerf_tpu.train import start_training
+
+        configs = small_train_configs(synth_root, num_iterations=90)
+        start_training(configs)  # resumes from iter 60
+        scene_dir = synth_root / "runs/training/train0001/synth01"
+        assert (scene_dir / "saved_models/Model_Iter000090.ckpt").exists()
+        latest = scene_dir / "saved_models/Model_Latest.ckpt"
+        assert latest.resolve().name == "Model_Iter000090.ckpt"

@@ -1,0 +1,177 @@
+"""Unit tests for loss functions and the LossComputer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipnerf_tpu.losses import LossComputer
+from vipnerf_tpu.losses import functions as F
+
+
+def configs_with(losses, fine=True):
+    model = {
+        "coarse_mlp": {"predict_visibility": True},
+    }
+    if fine:
+        model["fine_mlp"] = {"predict_visibility": True}
+    return {"model": model, "losses": losses, "data_loader": {"ndc": False}}
+
+
+class TestMSE:
+    def test_masked_mean_matches_reference_semantics(self):
+        cfg = configs_with([{"name": "MSE01", "weight": 1}], fine=False)
+        fn = F.mse(cfg, {})
+        nr = 6
+        pred = jnp.asarray(np.linspace(0, 1, nr * 3).reshape(nr, 3), jnp.float32)
+        target = jnp.zeros((nr, 3))
+        mask = jnp.asarray([1, 1, 1, 0, 0, 0], bool)
+        out = fn(
+            {"indices_mask_nerf": mask, "target_rgb": target},
+            {"rgb_coarse": pred},
+            return_loss_maps=True,
+        )
+        expected = float(
+            np.mean(np.mean(np.square(np.asarray(pred[:3])), axis=1))
+        )
+        assert float(out["loss_value"]) == pytest.approx(expected, rel=1e-6)
+        assert out["loss_maps"]["MSE01_coarse"].shape == (nr,)
+
+    def test_coarse_plus_fine_sum(self):
+        cfg = configs_with([{"name": "MSE01", "weight": 1}], fine=True)
+        fn = F.mse(cfg, {})
+        nr = 4
+        pred = jnp.full((nr, 3), 0.5)
+        target = jnp.zeros((nr, 3))
+        mask = jnp.ones((nr,), bool)
+        out = fn(
+            {"indices_mask_nerf": mask, "target_rgb": target},
+            {"rgb_coarse": pred, "rgb_fine": pred},
+        )
+        assert float(out["loss_value"]) == pytest.approx(2 * 0.25, rel=1e-6)
+
+    def test_empty_mask_gives_zero(self):
+        cfg = configs_with([{"name": "MSE01", "weight": 1}], fine=False)
+        fn = F.mse(cfg, {})
+        out = fn(
+            {
+                "indices_mask_nerf": jnp.zeros((4,), bool),
+                "target_rgb": jnp.zeros((4, 3)),
+            },
+            {"rgb_coarse": jnp.ones((4, 3))},
+        )
+        assert float(out["loss_value"]) == 0.0
+
+
+class TestVisibilityLoss:
+    def test_symmetric_mae_value(self):
+        cfg = configs_with([{"name": "VisibilityLoss01", "weight": 1}], fine=False)
+        fn = F.visibility_loss(cfg, {})
+        pred = jnp.full((2, 4, 1), 0.8)
+        target = jnp.full((2, 4), 0.5)
+        out = fn({}, {"raw_visibility_coarse": pred, "visibility_coarse": target})
+        # mae both directions: 0.3 + 0.3
+        assert float(out["loss_value"]) == pytest.approx(0.6, rel=1e-5)
+
+    def test_stop_gradients_both_directions(self):
+        cfg = configs_with([{"name": "VisibilityLoss01", "weight": 1}], fine=False)
+        fn = F.visibility_loss(cfg, {})
+
+        def loss_of(pred, target):
+            return fn(
+                {}, {"raw_visibility_coarse": pred, "visibility_coarse": target}
+            )["loss_value"]
+
+        pred = jnp.full((2, 4, 1), 0.8)
+        target = jnp.full((2, 4), 0.5)
+        g_pred = jax.grad(loss_of, argnums=0)(pred, target)
+        g_target = jax.grad(loss_of, argnums=1)(pred, target)
+        # each side only sees grads through its own (non-detached) term
+        assert np.abs(np.asarray(g_pred)).max() > 0
+        assert np.abs(np.asarray(g_target)).max() > 0
+        # magnitude: d/dpred mean|pred - sg(target)| = sign/8 per element
+        np.testing.assert_allclose(np.asarray(g_pred)[..., 0], 1 / 8, atol=1e-6)
+
+
+class TestVisibilityPriorLoss:
+    def test_masked_prior(self):
+        cfg = configs_with(
+            [{"name": "VisibilityPriorLoss01", "weight": 1}], fine=False
+        )
+        fn = F.visibility_prior_loss(cfg, {})
+        nr, nf1 = 4, 2
+        vis2 = jnp.full((nr, nf1), 0.25)
+        prior = jnp.ones((nr, nf1))
+        batch = {
+            "indices_mask_nerf": jnp.ones((nr,), bool),
+            "visibility_prior_masks": prior,
+            "rays_o": jnp.zeros((nr, 3)),
+        }
+        outputs = {
+            "raw_visibility2_coarse": jnp.zeros((nr, 8, nf1, 1)),
+            "visibility2_coarse": vis2,
+        }
+        out = fn(batch, outputs)
+        # sum over 2 views of (1 - 0.25) = 1.5 per ray
+        assert float(out["loss_value"]) == pytest.approx(1.5, rel=1e-6)
+
+    def test_none_when_visibility2_missing(self):
+        cfg = configs_with(
+            [{"name": "VisibilityPriorLoss01", "weight": 1}], fine=False
+        )
+        fn = F.visibility_prior_loss(cfg, {})
+        assert fn({"indices_mask_nerf": jnp.ones((2,), bool)}, {}) is None
+
+
+class TestSparseDepthMSE:
+    def test_value_on_sd_stream(self):
+        cfg = configs_with([{"name": "SparseDepthMSE01", "weight": 1}], fine=True)
+        fn = F.sparse_depth_mse(cfg, {})
+        nr = 4
+        batch = {
+            "indices_mask_sparse_depth": jnp.asarray([0, 0, 1, 1], bool),
+            "sparse_depth_values": jnp.asarray([[-1.0], [-1.0], [2.0], [3.0]]),
+        }
+        outputs = {"depth_fine": jnp.asarray([9.0, 9.0, 2.5, 3.5])}
+        out = fn(batch, outputs)
+        assert float(out["loss_value"]) == pytest.approx(0.25, rel=1e-6)
+
+    def test_zero_for_full_image_batches(self):
+        cfg = configs_with([{"name": "SparseDepthMSE01", "weight": 1}], fine=True)
+        fn = F.sparse_depth_mse(cfg, {})
+        out = fn({}, {"depth_fine": jnp.ones((4,))})
+        assert float(out["loss_value"]) == 0.0
+
+
+class TestLossComputer:
+    def test_weighted_total_and_staged_weights(self):
+        cfg = configs_with(
+            [
+                {"name": "MSE01", "weight": 1},
+                {"name": "VisibilityLoss01", "iter_weights": {"0": 0, "100": 0.5}},
+            ],
+            fine=False,
+        )
+        lc = LossComputer(cfg)
+        nr = 4
+        batch = {
+            "iter_num": jnp.asarray(50),
+            "indices_mask_nerf": jnp.ones((nr,), bool),
+            "target_rgb": jnp.zeros((nr, 3)),
+        }
+        outputs = {
+            "rgb_coarse": jnp.full((nr, 3), 0.5),
+            "raw_visibility_coarse": jnp.full((nr, 4, 1), 0.8),
+            "visibility_coarse": jnp.full((nr, 4), 0.5),
+        }
+        out = lc.compute_losses(batch, outputs)
+        # at iter 50, staged weight is 0 -> total = MSE only
+        assert float(out["TotalLoss"]) == pytest.approx(0.25, rel=1e-5)
+        batch["iter_num"] = jnp.asarray(150)
+        out = lc.compute_losses(batch, outputs)
+        assert float(out["TotalLoss"]) == pytest.approx(0.25 + 0.5 * 0.6, rel=1e-5)
+
+    def test_unknown_loss_raises(self):
+        cfg = configs_with([{"name": "NoSuchLoss", "weight": 1}], fine=False)
+        with pytest.raises(RuntimeError, match="Unknown Loss Function"):
+            LossComputer(cfg)

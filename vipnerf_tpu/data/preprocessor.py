@@ -266,7 +266,7 @@ class DataPreprocessor:
         self.cache["sparse_depth_values"] = jnp.asarray(flat_depths)
         self.cache["sparse_depth_errors"] = jnp.asarray(flat_errors)
         if self.ndc:
-            d_ndc = np.asarray(
+            d_ndc = np.array(
                 ray_ops.depth_to_ndc(
                     jnp.asarray(flat_depths),
                     self.cache["rays_o"],
@@ -288,7 +288,7 @@ class DataPreprocessor:
         self.cache["dense_depth_values"] = jnp.asarray(flat)
         self.cache["dense_depth_weights"] = jnp.asarray(weights.reshape(-1, 1))
         if self.ndc:
-            d_ndc = np.asarray(
+            d_ndc = np.array(
                 ray_ops.depth_to_ndc(
                     jnp.asarray(flat),
                     self.cache["rays_o"],

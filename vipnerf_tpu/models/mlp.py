@@ -178,15 +178,20 @@ def apply_mlp(
             rgb = primary["rgb_view_dependent"]
 
         if predict_visibility and view_dirs2 is not None:
-            # (npts, nf-1, 3) -> broadcast features over the other-view axis
-            enc_views2 = positional_encoding(
-                view_dirs2, mlp_cfg["views_positional_encoding_degree"]
-            )
+            # (npts, nf-1, 3): flatten the other-view axis into the batch so
+            # the view-branch matmuls stay (big, C) @ (C, W/2) — a 3-D operand
+            # with a tiny middle axis tiles poorly onto the 128x128 MXU.
             nf_m1 = view_dirs2.shape[-2]
-            feat2 = jnp.broadcast_to(
-                feature[..., None, :], feature.shape[:-1] + (nf_m1, feature.shape[-1])
+            npts = view_dirs2.shape[0]
+            enc_views2 = positional_encoding(
+                view_dirs2.reshape(npts * nf_m1, 3),
+                mlp_cfg["views_positional_encoding_degree"],
             )
-            out["visibility2"] = view_branch(enc_views2, feat2)["visibility"]
+            feat2 = jnp.broadcast_to(
+                feature[:, None, :], (npts, nf_m1, feature.shape[-1])
+            ).reshape(npts * nf_m1, feature.shape[-1])
+            vis2 = view_branch(enc_views2, feat2)["visibility"]
+            out["visibility2"] = vis2.reshape(npts, nf_m1, 1)
 
     out["rgb"] = rgb
     return out

@@ -150,6 +150,74 @@ def make_scan_train(
     return jax.jit(scan_train, donate_argnums=(0, 1) if donate else ())
 
 
+def make_host_loop_train(
+    configs: Dict[str, Any],
+    gather_batch: Callable,
+    train_step: Callable,
+    *,
+    with_sd: bool,
+    donate: bool = True,
+) -> Callable:
+    """Host-dispatched variant of make_scan_train with the same signature.
+
+    One jitted step per iteration, loop on host. Used on backends where
+    AOT-compiling a `lax.scan` over the full train step is pathologically
+    slow (the current axon TPU backend); at full model size (~100ms/step) the
+    ~1ms host dispatch is noise. Semantics (RNG folding, iter numbering,
+    returned per-step scalars) match the scanned version exactly.
+    """
+
+    def one_step(params, opt_state, nerf_i, sd_i, iter_num, base_key):
+        batch = gather_batch(nerf_i, sd_i, iter_num)
+        rng = jax.random.fold_in(base_key, iter_num)
+        return train_step(params, opt_state, batch, rng)
+
+    def one_step_nosd(params, opt_state, nerf_i, iter_num, base_key):
+        return one_step(params, opt_state, nerf_i, None, iter_num, base_key)
+
+    donate_args = (0, 1) if donate else ()
+    jit_sd = jax.jit(one_step, donate_argnums=donate_args)
+    jit_nosd = jax.jit(one_step_nosd, donate_argnums=donate_args)
+
+    if with_sd:
+
+        def run(params, opt_state, base_key, start_iter, nerf_idx, sd_idx):
+            scalars_steps = []
+            for i in range(nerf_idx.shape[0]):
+                params, opt_state, scalars = jit_sd(
+                    params, opt_state, nerf_idx[i], sd_idx[i],
+                    start_iter + i, base_key,
+                )
+                scalars_steps.append(scalars)
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *scalars_steps
+            )
+            return params, opt_state, stacked
+
+    else:
+
+        def run(params, opt_state, base_key, start_iter, nerf_idx):
+            scalars_steps = []
+            for i in range(nerf_idx.shape[0]):
+                params, opt_state, scalars = jit_nosd(
+                    params, opt_state, nerf_idx[i], start_iter + i, base_key
+                )
+                scalars_steps.append(scalars)
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *scalars_steps
+            )
+            return params, opt_state, stacked
+
+    return run
+
+
+def default_step_dispatch() -> str:
+    """'scan' where lax.scan compiles sanely; 'host' on the axon TPU backend
+    (its AOT compiler currently blows up on scanned train steps)."""
+    backend = jax.default_backend()
+    return "host" if backend not in ("cpu", "gpu") else "scan"
+
+
 def make_scan_train_nosd(
     configs: Dict[str, Any],
     gather_batch: Callable,

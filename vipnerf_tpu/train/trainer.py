@@ -1,0 +1,370 @@
+"""Training runtime: per-scene orchestration, scanned training loop,
+validation renders, checkpointing, logging.
+
+Parity target: src/Trainer01.py (paths relative to /root/reference/):
+- output contract: runs/training/train{NNNN:04}/{scene_id}/ with Configs.json
+  (:471-473), ModelConfigs.json (:523), logs/ (:55), samples/ (:278),
+  saved_models/Model_Iter{NNNNNN:06} + Model_Latest (:352-366)
+- loop: per-iter lr (in-graph here), validation every validation_interval
+  (:301-305), checkpoint every model_save_interval (:310-311), resume (:290)
+- validation: full train+val image renders with losses and loss-map dumps
+  (:109-263), file naming {frame:04}_{mode}_Iter{iter:05}.png etc.
+
+TPU-first differences:
+- The inner loop runs K iterations per host dispatch via the jitted
+  `lax.scan` chunk (vipnerf_tpu.train.step); scan boundaries are aligned to
+  validation/save intervals so observable behavior matches the reference's
+  per-iteration loop.
+- Multi-chip: when >1 device is visible, batch index blocks are sharded over
+  the ray axis of a 1-D mesh and parameters are replicated (the TPU-native
+  equivalent of the reference's DataParallel, SURVEY.md §2.9).
+"""
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vipnerf_tpu.data import get_data_loader, get_data_preprocessor
+from vipnerf_tpu.infer.renderer import TiledRenderer
+from vipnerf_tpu.losses import LossComputer
+from vipnerf_tpu.models import get_model
+from vipnerf_tpu.parallel.mesh import make_mesh, ray_sharding, replicate
+from vipnerf_tpu.train import checkpoints
+from vipnerf_tpu.train.logging import ScalarLogger
+from vipnerf_tpu.train.lr_schedules import get_lr_schedule
+from vipnerf_tpu.train.step import (
+    default_step_dispatch,
+    make_host_loop_train,
+    make_optimizer,
+    make_scan_train,
+    make_scan_train_nosd,
+    make_train_step,
+)
+from vipnerf_tpu.utils.config import init_seeds, save_configs, save_model_configs
+from vipnerf_tpu.utils.io import save_image, save_numpy_array
+
+
+class Trainer:
+    def __init__(
+        self,
+        configs: Dict[str, Any],
+        model_configs: Dict[str, Any],
+        train_data_preprocessor,
+        val_data_preprocessor,
+        params,
+        loss_computer: LossComputer,
+        output_dirpath: Path,
+        verbose_log: bool = True,
+    ):
+        self.configs = configs
+        self.model_configs = model_configs
+        self.train_data_preprocessor = train_data_preprocessor
+        self.val_data_preprocessor = val_data_preprocessor
+        self.loss_computer = loss_computer
+        self.output_dirpath = Path(output_dirpath)
+        self.verbose_log = verbose_log
+
+        self.params = params
+        _, self.render_fn = get_model(configs)
+        self.tx = make_optimizer(configs)
+        self.opt_state = self.tx.init(params)
+        self.lr_schedule = get_lr_schedule(configs)
+
+        self.mesh = make_mesh()
+        self.multi_device = len(self.mesh.devices.ravel()) > 1
+
+        train_step = make_train_step(
+            configs, self.render_fn, loss_computer, self.tx
+        )
+        gather = train_data_preprocessor.gather_batch
+        with_sd = train_data_preprocessor.sparse_depth_needed
+        dispatch = configs.get("step_dispatch", default_step_dispatch())
+        if dispatch == "host":
+            self.scan_train = make_host_loop_train(
+                configs, gather, train_step, with_sd=with_sd
+            )
+        elif with_sd:
+            self.scan_train = make_scan_train(configs, gather, train_step)
+        else:
+            self.scan_train = make_scan_train_nosd(configs, gather, train_step)
+
+        self.renderer = TiledRenderer(
+            self.render_fn, configs, loss_computer=loss_computer
+        )
+        self.logger = ScalarLogger(self.output_dirpath / "logs")
+        self.base_key = jax.random.PRNGKey(configs.get("seed", 0) or 0)
+
+        # Scan chunk length: how many train iterations per host dispatch.
+        self.scan_steps = int(configs.get("scan_steps", 100))
+
+    # --------------------------------------------------------------- training
+
+    def _place_indices(self, arr: np.ndarray) -> jax.Array:
+        if self.multi_device and arr.shape[1] % len(self.mesh.devices.ravel()) == 0:
+            return jax.device_put(arr, ray_sharding(self.mesh, axis=1, ndim=arr.ndim))
+        return jnp.asarray(arr)
+
+    def train(self):
+        train_num = self.configs["train_num"]
+        scene_id = self.configs["data_loader"]["scene_id"]
+        print(f"Training {train_num}/{scene_id} begins...")
+        sample_images_dirpath = self.output_dirpath / "samples"
+        saved_models_dirpath = self.output_dirpath / "saved_models"
+        sample_images_dirpath.mkdir(parents=True, exist_ok=True)
+        saved_models_dirpath.mkdir(parents=True, exist_ok=True)
+
+        validation_interval = self.configs["validation_interval"]
+        model_save_interval = self.configs["model_save_interval"]
+        total_num_iters = self.configs["num_iterations"]
+        precrop_end = self.configs["data_loader"].get("precrop_iterations", -1)
+
+        start_iter = self.load_model(saved_models_dirpath)
+
+        if self.multi_device:
+            rep = replicate(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+
+        it = start_iter
+        t_start = time.time()
+        rays_done = 0
+        while it < total_num_iters:
+            # Align scan chunks to every host-observable boundary.
+            boundaries = [total_num_iters]
+            for interval in (validation_interval, model_save_interval):
+                boundaries.append(((it // interval) + 1) * interval)
+            if it < precrop_end:
+                boundaries.append(precrop_end)
+            k = min(min(boundaries) - it, self.scan_steps)
+
+            nerf_idx, sd_idx = self.train_data_preprocessor.get_index_chunk(it, k)
+            if sd_idx is not None:
+                self.params, self.opt_state, scalars = self.scan_train(
+                    self.params,
+                    self.opt_state,
+                    self.base_key,
+                    it,
+                    self._place_indices(nerf_idx),
+                    self._place_indices(sd_idx),
+                )
+            else:
+                self.params, self.opt_state, scalars = self.scan_train(
+                    self.params,
+                    self.opt_state,
+                    self.base_key,
+                    it,
+                    self._place_indices(nerf_idx),
+                )
+            scalars = jax.device_get(scalars)
+            rays_done += k * (
+                nerf_idx.shape[1] + (sd_idx.shape[1] if sd_idx is not None else 0)
+            )
+
+            # Per-iteration scalars (reference logs every iter, :297-299).
+            for j in range(k):
+                step = it + j + 1
+                for name, vals in scalars.items():
+                    self.logger.add_scalar(f"train/{name}", float(vals[j]), step)
+                self.logger.add_scalar(
+                    "train/lr", float(self.lr_schedule(it + j)), step
+                )
+            it += k
+
+            if self.verbose_log:
+                elapsed = time.time() - t_start
+                print(
+                    f"iter {it}/{total_num_iters} "
+                    f"TotalLoss {float(scalars['TotalLoss'][-1]):.5f} "
+                    f"({rays_done / max(elapsed, 1e-9):,.0f} rays/s)",
+                    flush=True,
+                )
+
+            if it % validation_interval == 0:
+                val_losses = self.run_validation(
+                    it - 1, self.train_data_preprocessor, sample_images_dirpath
+                )
+                self.logger.add_scalars("validation/train_images", val_losses, it)
+                val_losses = self.run_validation(
+                    it - 1, self.val_data_preprocessor, sample_images_dirpath
+                )
+                self.logger.add_scalars("validation/val_images", val_losses, it)
+
+            if it % model_save_interval == 0:
+                self.save_model(it, saved_models_dirpath)
+
+        self.logger.flush()
+
+    # ------------------------------------------------------------- validation
+
+    def run_validation(
+        self, iter_num: int, data_preprocessor, save_dirpath: Path
+    ) -> Dict[str, float]:
+        """Full-image renders of every frame with losses (reference :109-263)."""
+        chunk_size = self.configs["validation_chunk_size"]
+        save_loss_maps = self.configs.get("validation_save_loss_maps", False)
+        h, w = data_preprocessor.resolution
+        is_train_data = data_preprocessor.mode == "train"
+        frame_nums = data_preprocessor.frame_nums
+
+        total: Dict[str, float] = {}
+        for frame_num in frame_nums:
+            frame_num = int(frame_num)
+            batch = data_preprocessor.get_next_batch(iter_num, image_num=frame_num)
+            outputs, losses = self.renderer.render(
+                self.params,
+                batch,
+                chunk_size=chunk_size,
+                sec_views_vis=is_train_data,
+                retraw=True,
+                with_losses=True,
+                return_loss_maps=save_loss_maps,
+            )
+            for name, val in losses.items():
+                v = val["loss_value"] if isinstance(val, dict) else val
+                total[name] = total.get(name, 0.0) + float(v)
+
+            for mode in ("coarse", "fine"):
+                if f"rgb_{mode}" not in outputs:
+                    continue
+                tag = f"{mode}_Iter{iter_num + 1:05}"
+                save_image(
+                    save_dirpath / f"predicted_frames/{frame_num:04}_{tag}.png",
+                    np.clip(outputs[f"rgb_{mode}"].reshape(h, w, 3), 0, 1),
+                )
+                save_numpy_array(
+                    save_dirpath / f"predicted_depths/{frame_num:04}_{tag}.npy",
+                    outputs[f"depth_{mode}"].reshape(h, w),
+                    as_png=True,
+                )
+                save_numpy_array(
+                    save_dirpath
+                    / f"predicted_depths_variance/{frame_num:04}_{tag}.npy",
+                    outputs[f"depth_var_{mode}"].reshape(h, w),
+                    as_png=True,
+                )
+                if f"depth_ndc_{mode}" in outputs:
+                    save_numpy_array(
+                        save_dirpath
+                        / f"predicted_depths/{frame_num:04}_{mode}_ndc_Iter{iter_num + 1:05}.npy",
+                        outputs[f"depth_ndc_{mode}"].reshape(h, w),
+                        as_png=True,
+                    )
+                    save_numpy_array(
+                        save_dirpath
+                        / f"predicted_depths_variance/{frame_num:04}_{mode}_ndc_Iter{iter_num + 1:05}.npy",
+                        outputs[f"depth_var_ndc_{mode}"].reshape(h, w),
+                        as_png=True,
+                    )
+                if f"visibility2_{mode}" in outputs:
+                    others = [x for x in frame_nums if x != frame_num]
+                    for j, sec in enumerate(others):
+                        save_numpy_array(
+                            save_dirpath
+                            / f"predicted_visibilities/{frame_num:04}_{int(sec):04}_{tag}.npy",
+                            outputs[f"visibility2_{mode}"][:, j].reshape(h, w),
+                            as_png=True,
+                        )
+
+            if save_loss_maps:
+                for name, val in losses.items():
+                    if not isinstance(val, dict) or "loss_maps" not in val:
+                        continue
+                    for full_name, loss_map in val["loss_maps"].items():
+                        save_numpy_array(
+                            save_dirpath
+                            / f"Losses/{full_name}_{frame_num:04}_Iter{iter_num + 1:05}.npy",
+                            np.asarray(loss_map).reshape(h, w),
+                            as_png=True,
+                        )
+        return {k: v / max(len(frame_nums), 1) for k, v in total.items()}
+
+    # ------------------------------------------------------------ checkpoints
+
+    def save_model(self, iter_num: int, save_dirpath: Path):
+        checkpoints.save_checkpoint(
+            save_dirpath, iter_num, self.params, self.opt_state
+        )
+
+    def load_model(self, saved_models_dirpath: Path) -> int:
+        latest = checkpoints.latest_checkpoint(saved_models_dirpath)
+        if latest is None:
+            return 0
+        iter_num, self.params, self.opt_state = checkpoints.load_checkpoint(
+            latest, self.params, self.opt_state
+        )
+        print(f"Resuming Training from iteration {iter_num + 1}")
+        return iter_num
+
+
+def resolve_scene_ids(configs: Dict[str, Any], database_dirpath: Path):
+    """scene_ids from scene_names/scene_nums, else all scenes in the train
+    split CSV (reference entry-point behavior,
+    NerfLlffTrainerTester01.py:50-58)."""
+    dl = configs["data_loader"]
+    for key in ("scene_ids", "scene_names", "scene_nums"):
+        if dl.get(key):
+            return list(np.unique(dl[key]))
+    import pandas as pd
+
+    set_num = dl["train_set_num"]
+    csv = database_dirpath / f"train_test_sets/set{set_num:02}/TrainVideosData.csv"
+    data = pd.read_csv(csv)
+    col = "scene_name" if "scene_name" in data.columns else "scene_num"
+    return list(np.unique(data[col].to_numpy()))
+
+
+def start_training(configs: Dict[str, Any]):
+    """Per-scene training orchestration (reference start_training :491-533)."""
+    root_dirpath = Path(configs.get("root_dirpath", "."))
+    database_dirpath = root_dirpath / "data" / configs["database_dirpath"]
+    output_dirpath = root_dirpath / f"runs/training/train{configs['train_num']:04}"
+
+    # Run-level config persistence (reference entry points call
+    # Trainer.save_configs at the train{NNNN:04} level before the scene loop,
+    # e.g. NerfLlffTrainerTester01.py:49).
+    output_dirpath.mkdir(parents=True, exist_ok=True)
+    save_configs(output_dirpath, dict(configs))
+
+    scene_ids = resolve_scene_ids(configs, database_dirpath)
+    for scene_id in scene_ids:
+        init_seeds(configs.get("seed", 0))
+        scene_output_dirpath = output_dirpath / f"{scene_id}"
+        scene_output_dirpath.mkdir(
+            parents=True, exist_ok=configs.get("resume_training", False)
+        )
+
+        configs["data_loader"]["scene_id"] = scene_id
+
+        train_data_loader = get_data_loader(configs, database_dirpath, mode="train")
+        train_data_preprocessor = get_data_preprocessor(
+            configs, mode="train", raw_data_dict=train_data_loader.load_data()
+        )
+        val_data_loader = get_data_loader(configs, database_dirpath, mode="validation")
+        val_data_preprocessor = get_data_preprocessor(
+            configs,
+            mode="validation",
+            raw_data_dict=val_data_loader.load_data(),
+            model_configs=train_data_preprocessor.get_model_configs(),
+        )
+        model_configs = train_data_preprocessor.get_model_configs()
+
+        init_fn, _ = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(configs.get("seed", 0) or 0), configs)
+        loss_computer = LossComputer(configs)
+
+        save_model_configs(scene_output_dirpath, model_configs)
+
+        trainer = Trainer(
+            configs,
+            model_configs,
+            train_data_preprocessor,
+            val_data_preprocessor,
+            params,
+            loss_computer,
+            scene_output_dirpath,
+        )
+        trainer.train()
