@@ -1,0 +1,143 @@
+"""Tests for database builders (split creators + spiral path, on the
+synthetic database)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vipnerf_tpu.data.synthetic import write_synthetic_database
+from vipnerf_tpu.db_builders import dtu as dtu_builder
+from vipnerf_tpu.db_builders import nerf_llff as llff_builder
+from vipnerf_tpu.db_builders import real_estate as re_builder
+
+
+@pytest.fixture(scope="module")
+def llff_db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("db") / "databases"
+    write_synthetic_database(
+        root, scene_name="synth01", num_frames=16, train_frames=(1, 14),
+        val_frames=(8,), height=24, width=32,
+    )
+    return root / "NeRF_LLFF/data"
+
+
+class TestLlffBuilder:
+    def test_uniform_sparse_sampling(self):
+        frames = list(range(20))
+        out = llff_builder.sample_sparse_train_frames(frames, 3)
+        assert len(out) == 3
+        assert sorted(out) == list(out)
+        # uniform spread: roughly quarters
+        assert out[0] < 7 and out[-1] > 12
+        # -1 keeps everything
+        assert len(llff_builder.sample_sparse_train_frames(frames, -1)) == 20
+
+    def test_create_train_test_set(self, llff_db):
+        llff_builder.create_train_test_set(llff_db, set_num=9, num_train_frames=2)
+        sets = llff_db / "train_test_sets/set09"
+        train = pd.read_csv(sets / "TrainVideosData.csv")
+        test = pd.read_csv(sets / "TestVideosData.csv")
+        val = pd.read_csv(sets / "ValidationVideosData.csv")
+        assert len(train) == 2
+        # every-8th frames are test
+        assert set(test["pred_frame_num"]) == {0, 8}
+        assert set(train["pred_frame_num"]).isdisjoint(set(test["pred_frame_num"]))
+        assert len(val) == 1
+        assert (sets / "Configs.json").exists()
+
+    def test_spiral_video_poses(self, llff_db):
+        llff_builder.create_train_test_set(llff_db, set_num=9, num_train_frames=2)
+        llff_builder.create_spiral_video_poses(
+            llff_db, set_num=9, num_frames=30, num_rotations=2
+        )
+        out = llff_db / "train_test_sets/set09/video_poses01"
+        poses = np.loadtxt(out / "synth01.csv", delimiter=",").reshape(-1, 4, 4)
+        assert poses.shape[0] == 31  # center pose + 30 spiral frames
+        # valid rigid transforms
+        for p in poses:
+            r = p[:3, :3]
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+            np.testing.assert_allclose(p[3], [0, 0, 0, 1], atol=1e-9)
+        # spiral stays in the vicinity of the original cameras
+        orig = np.loadtxt(
+            llff_db / "all/database_data/synth01/CameraExtrinsics.csv",
+            delimiter=",",
+        ).reshape(-1, 4, 4)
+        orig_centers = np.stack([-(p[:3, :3].T @ p[:3, 3]) for p in orig])
+        spiral_centers = np.stack([-(p[:3, :3].T @ p[:3, 3]) for p in poses])
+        scene_scale = np.linalg.norm(orig_centers.max(0) - orig_centers.min(0))
+        d = np.linalg.norm(
+            spiral_centers - orig_centers.mean(0), axis=1
+        ).max()
+        assert d < 3 * scene_scale
+        frame_nums = np.loadtxt(out / "VideoFrameNums.csv", delimiter=",")
+        assert len(frame_nums) == 30
+
+
+class TestRealEstateBuilder:
+    def test_camera_file_parsing(self, tmp_path):
+        lines = ["https://example.com/video"]
+        rng = np.random.default_rng(0)
+        for ts in (1000, 2000):
+            vals = [str(ts)] + [f"{v:.6f}" for v in rng.uniform(0.3, 0.7, 18)]
+            lines.append(" ".join(vals))
+        path = tmp_path / "abc123.txt"
+        path.write_text("\n".join(lines))
+        data = re_builder.parse_camera_file(path)
+        assert data["url"].startswith("https://")
+        assert data["timestamps"].tolist() == [1000, 2000]
+        assert data["poses_3x4"].shape == (2, 3, 4)
+        intr = re_builder.compute_intrinsic_matrices(
+            data["intrinsics_norm"], (360, 640)
+        )
+        assert intr.shape == (2, 3, 3)
+        assert intr[0, 2, 2] == 1
+        extr = re_builder.compute_extrinsic_matrices(data["poses_3x4"])
+        np.testing.assert_allclose(extr[:, 3], [[0, 0, 0, 1]] * 2)
+
+    def test_train_test_splits(self, tmp_path):
+        re_builder.create_train_test_set(tmp_path, 2, [0, 1], num_train_frames=2)
+        sets = tmp_path / "train_test_sets/set02"
+        train = pd.read_csv(sets / "TrainVideosData.csv")
+        test = pd.read_csv(sets / "TestVideosData.csv")
+        # sparse: first 2 of [10, 20, 30, 0, 40] sorted
+        assert set(train["pred_frame_num"]) == {10, 20}
+        assert len(test) == 2 * 48
+        assert set(train["scene_num"]) == {0, 1}
+
+
+class TestDtuBuilder:
+    def test_train_test_splits(self, tmp_path):
+        dtu_builder.create_train_test_set(
+            tmp_path, 2, 3, scene_nums=[8, 21]
+        )
+        sets = tmp_path / "train_test_sets/set02"
+        train = pd.read_csv(sets / "TrainVideosData.csv")
+        test = pd.read_csv(sets / "TestVideosData.csv")
+        val = pd.read_csv(sets / "ValidationVideosData.csv")
+        assert set(train["pred_frame_num"]) == {25, 22, 28}
+        assert len(test) == 2 * 40
+        assert set(val["pred_frame_num"]) == {24, 26}
+
+    def test_decompose_world_mat(self):
+        # build a projection from known K, R, t and recover them
+        k = np.array([[400.0, 0, 200], [0, 400.0, 150], [0, 0, 1]])
+        angle = 0.3
+        r = np.array(
+            [
+                [np.cos(angle), -np.sin(angle), 0],
+                [np.sin(angle), np.cos(angle), 0],
+                [0, 0, 1.0],
+            ]
+        )
+        t = np.array([0.5, -0.2, 2.0])
+        w2c_true = np.eye(4)
+        w2c_true[:3, :3] = r
+        w2c_true[:3, 3] = t
+        proj = k @ w2c_true[:3]
+        intrinsic, w2c = dtu_builder.decompose_world_mat(proj, (300, 400))
+        assert intrinsic[0, 0] == pytest.approx(400.0, rel=1e-5)
+        # principal point forced to the image center per reference
+        assert intrinsic[0, 2] == 200 and intrinsic[1, 2] == 150
+        np.testing.assert_allclose(w2c[:3, :3], r, atol=1e-6)
+        np.testing.assert_allclose(w2c[:3, 3], t, atol=1e-6)

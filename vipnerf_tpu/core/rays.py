@@ -19,6 +19,7 @@ cheaper than streaming a precomputed cache from host).
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -41,10 +42,13 @@ def get_rays(
     ones = jnp.ones_like(xx)
     pix = jnp.stack([xx, yy, ones], axis=-1)  # (h, w, 3)
     k_inv = jnp.linalg.inv(intrinsic.astype(jnp.float32))
-    dirs = pix @ k_inv.T  # (h, w, 3)
+    # HIGHEST precision: TPU f32 matmuls default to bf16 passes; ray
+    # directions feed every downstream quantity, so keep them exact.
+    hi = jax.lax.Precision.HIGHEST
+    dirs = jnp.matmul(pix, k_inv.T, precision=hi)  # (h, w, 3)
     dirs = dirs * jnp.asarray([1.0, -1.0, -1.0], dtype=jnp.float32)
     rot = c2w[:3, :3].astype(jnp.float32)
-    rays_d = dirs @ rot.T  # row-vector form of R @ d
+    rays_d = jnp.matmul(dirs, rot.T, precision=hi)  # row-vector R @ d
     rays_o = jnp.broadcast_to(c2w[:3, 3].astype(jnp.float32), rays_d.shape)
     return rays_o, rays_d
 

@@ -90,9 +90,11 @@ def _run_mlp_on_samples(
     noise_key: Optional[jax.Array],
     bf16_matmuls: bool,
     remat: bool,
+    netchunk_map: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Flatten (nr, ns, ...) sample tensors, run the MLP, reshape back
-    (reference run_network :264-293, minus the netchunk loop)."""
+    (reference run_network :264-293; the host netchunk loop becomes an
+    optional on-device lax.map)."""
     nr, ns = pts.shape[0], pts.shape[1]
     pts_flat = pts.reshape(nr * ns, 3)
     vd_flat = None
@@ -119,7 +121,62 @@ def _run_mlp_on_samples(
 
     if remat:
         fwd = jax.checkpoint(fwd)
-    raw = fwd(mlp_params, pts_flat, vd_flat, vd2_flat)
+
+    if netchunk_map and nr * ns > netchunk_map:
+        # On-device point chunking: lax.map over fixed-size chunks. Unlike
+        # the reference's host-side netchunk loop (VipNeRF01.py:295-329) this
+        # stays one compiled program; it bounds live activation memory and
+        # keeps each loop-body program small (the axon TPU backend chokes on
+        # very large fused bodies).
+        npts = nr * ns
+        chunk = netchunk_map
+        n_chunks = -(-npts // chunk)
+        padded = n_chunks * chunk
+
+        def pad0(x):
+            if x is None:
+                return None
+            return jnp.pad(
+                x, [(0, padded - npts)] + [(0, 0)] * (x.ndim - 1)
+            ).reshape((n_chunks, chunk) + x.shape[1:])
+
+        xs = (jnp.arange(n_chunks), pad0(pts_flat), pad0(vd_flat), pad0(vd2_flat))
+        xs = tuple(x for x in xs if x is not None)
+
+        def body(chunk_inputs):
+            idx = chunk_inputs[0]
+            pf = chunk_inputs[1]
+            vf = chunk_inputs[2] if vd_flat is not None else None
+            v2f = chunk_inputs[-1] if vd2_flat is not None else None
+            # distinct sigma noise per chunk
+            key = (
+                jax.random.fold_in(noise_key, idx)
+                if noise_key is not None
+                else None
+            )
+            inner = apply_mlp
+            if remat:
+                inner = jax.checkpoint(
+                    lambda p, a, b, c: apply_mlp(
+                        p, mlp_cfg, a, b, c,
+                        raw_noise_std=raw_noise_std, noise_key=key,
+                        bf16_matmuls=bf16_matmuls,
+                    )
+                )
+                return inner(mlp_params, pf, vf, v2f)
+            return apply_mlp(
+                mlp_params, mlp_cfg, pf, vf, v2f,
+                raw_noise_std=raw_noise_std, noise_key=key,
+                bf16_matmuls=bf16_matmuls,
+            )
+
+        raw = jax.lax.map(body, xs)
+        raw = {
+            k: v.reshape((padded,) + v.shape[2:])[:npts]
+            for k, v in raw.items()
+        }
+    else:
+        raw = fwd(mlp_params, pts_flat, vd_flat, vd2_flat)
     return {
         k: v.reshape((nr, ns) + v.shape[1:]) for k, v in raw.items()
     }
@@ -160,6 +217,7 @@ def render_rays(
     raw_noise_std = mcfg["raw_noise_std"] if train else 0.0
     bf16 = mcfg.get("bf16_matmuls", False)
     remat = mcfg.get("remat", False)
+    netchunk_map = mcfg.get("netchunk_map", 0)
     white_bkgd = mcfg["white_bkgd"]
 
     rays_o = batch["rays_o"]
@@ -215,6 +273,7 @@ def render_rays(
             noise_key=keys[1],
             bf16=bf16,
             remat=remat,
+            netchunk_map=netchunk_map,
         )
         weights_coarse = out_c["weights"]
         out["z_vals_coarse"] = z_coarse
@@ -249,6 +308,7 @@ def render_rays(
             noise_key=keys[3],
             bf16=bf16,
             remat=remat,
+            netchunk_map=netchunk_map,
         )
         out["z_vals_fine"] = z_fine
         for k, v in out_f.items():
@@ -283,6 +343,7 @@ def _render_one_level(
     noise_key: Optional[jax.Array],
     bf16: bool,
     remat: bool,
+    netchunk_map: int = 0,
 ):
     """One MLP evaluation + compositing pass (coarse or fine)."""
     # Sample points in the sampling space (NDC coords in NDC mode, :104-107)
@@ -302,6 +363,7 @@ def _render_one_level(
         noise_key=noise_key,
         bf16_matmuls=bf16,
         remat=remat,
+        netchunk_map=netchunk_map,
     )
 
     if not ndc:

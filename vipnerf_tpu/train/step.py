@@ -160,53 +160,47 @@ def make_host_loop_train(
 ) -> Callable:
     """Host-dispatched variant of make_scan_train with the same signature.
 
-    One jitted step per iteration, loop on host. Used on backends where
-    AOT-compiling a `lax.scan` over the full train step is pathologically
-    slow (the current axon TPU backend); at full model size (~100ms/step) the
-    ~1ms host dispatch is noise. Semantics (RNG folding, iter numbering,
-    returned per-step scalars) match the scanned version exactly.
+    Two small jitted programs per iteration — batch gather, then the train
+    step — dispatched from host. Used on the axon TPU backend, whose AOT
+    compiler (a) is pathologically slow compiling `lax.scan` over the full
+    train step and (b) fails register allocation (Mosaic RET_CHECK in
+    live_range_finder) when the multi-million-row cache gather is fused into
+    the train-step program. At full model size (~100ms/step) the extra ~1ms
+    of host dispatch is noise. Semantics (RNG folding, iter numbering,
+    per-step scalar stack) match the scanned version exactly.
     """
 
-    def one_step(params, opt_state, nerf_i, sd_i, iter_num, base_key):
-        batch = gather_batch(nerf_i, sd_i, iter_num)
+    @jax.jit
+    def jit_gather_sd(nerf_i, sd_i, iter_num):
+        return gather_batch(nerf_i, sd_i, iter_num)
+
+    @jax.jit
+    def jit_gather_nosd(nerf_i, iter_num):
+        return gather_batch(nerf_i, None, iter_num)
+
+    def step_fn(params, opt_state, batch, iter_num, base_key):
         rng = jax.random.fold_in(base_key, iter_num)
         return train_step(params, opt_state, batch, rng)
 
-    def one_step_nosd(params, opt_state, nerf_i, iter_num, base_key):
-        return one_step(params, opt_state, nerf_i, None, iter_num, base_key)
-
     donate_args = (0, 1) if donate else ()
-    jit_sd = jax.jit(one_step, donate_argnums=donate_args)
-    jit_nosd = jax.jit(one_step_nosd, donate_argnums=donate_args)
+    jit_step = jax.jit(step_fn, donate_argnums=donate_args)
 
-    if with_sd:
-
-        def run(params, opt_state, base_key, start_iter, nerf_idx, sd_idx):
-            scalars_steps = []
-            for i in range(nerf_idx.shape[0]):
-                params, opt_state, scalars = jit_sd(
-                    params, opt_state, nerf_idx[i], sd_idx[i],
-                    start_iter + i, base_key,
-                )
-                scalars_steps.append(scalars)
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *scalars_steps
+    def run(params, opt_state, base_key, start_iter, nerf_idx, sd_idx=None):
+        scalars_steps = []
+        for i in range(nerf_idx.shape[0]):
+            iter_num = start_iter + i
+            if with_sd:
+                batch = jit_gather_sd(nerf_idx[i], sd_idx[i], iter_num)
+            else:
+                batch = jit_gather_nosd(nerf_idx[i], iter_num)
+            params, opt_state, scalars = jit_step(
+                params, opt_state, batch, iter_num, base_key
             )
-            return params, opt_state, stacked
-
-    else:
-
-        def run(params, opt_state, base_key, start_iter, nerf_idx):
-            scalars_steps = []
-            for i in range(nerf_idx.shape[0]):
-                params, opt_state, scalars = jit_nosd(
-                    params, opt_state, nerf_idx[i], start_iter + i, base_key
-                )
-                scalars_steps.append(scalars)
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *scalars_steps
-            )
-            return params, opt_state, stacked
+            scalars_steps.append(scalars)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *scalars_steps
+        )
+        return params, opt_state, stacked
 
     return run
 
