@@ -37,6 +37,7 @@ def main():
 
     bf16 = os.environ.get("BENCH_BF16", "1") == "1"
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    netchunk_map = int(os.environ.get("BENCH_NCMAP", "16384"))
     k_steps = int(os.environ.get("BENCH_STEPS", "50"))
     num_rays = 2048
     num_rays_sd = 2048
@@ -85,6 +86,10 @@ def main():
             "chunk": 4096, "lindisp": False, "netchunk": 16384,
             "perturb": True, "raw_noise_std": 1.0, "white_bkgd": False,
             "bf16_matmuls": bf16, "remat": remat,
+            # measured optimum on v5e: bounds live activations per map
+            # iteration; also dodges the backend's regalloc failure on very
+            # large fused bodies
+            "netchunk_map": netchunk_map,
         },
         "losses": [
             {"name": "MSE01", "weight": 1},

@@ -113,6 +113,9 @@ def build_train_configs(
             "white_bkgd": False,
             "bf16_matmuls": bf16_matmuls,
             "remat": False,
+            # measured optimum on TPU v5e (see bench.py): bounds live
+            # activation memory per on-device map iteration
+            "netchunk_map": 16384,
         },
         "losses": losses,
         "optimizer": {

@@ -92,13 +92,23 @@ def init_mlp_params(key: jax.Array, mlp_cfg: Dict[str, Any]) -> Params:
 def _dense(
     x: jnp.ndarray, layer: Dict[str, jnp.ndarray], bf16: bool
 ) -> jnp.ndarray:
-    """x @ w + b, optionally with bf16 MXU operands / f32 accumulation."""
-    w = layer["w"]
+    """x @ w + b on the MXU.
+
+    With bf16=True the whole computation (activations included) runs in
+    bfloat16 with float32 master weights: casting only the forward operands
+    is useless because autodiff's backward matmuls then mix f32 gradients
+    with bf16 weights and XLA upcasts them back to f32 (measured: no speedup).
+    Keeping activations bf16 makes fwd AND bwd matmuls bf16; the MXU still
+    accumulates in f32 internally before rounding the output.
+    """
     if bf16:
-        x = x.astype(jnp.bfloat16)
-        w = w.astype(jnp.bfloat16)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    return y + layer["b"]
+        w = layer["w"].astype(jnp.bfloat16)
+        b = layer["b"].astype(jnp.bfloat16)
+        y = jnp.dot(
+            x.astype(jnp.bfloat16), w, preferred_element_type=jnp.bfloat16
+        )
+        return y + b
+    return jnp.dot(x, layer["w"], preferred_element_type=jnp.float32) + layer["b"]
 
 
 def apply_mlp(
@@ -178,20 +188,26 @@ def apply_mlp(
             rgb = primary["rgb_view_dependent"]
 
         if predict_visibility and view_dirs2 is not None:
-            # (npts, nf-1, 3): flatten the other-view axis into the batch so
-            # the view-branch matmuls stay (big, C) @ (C, W/2) — a 3-D operand
+            # (npts, nf-1, 3): fold the other-view axis into the batch so the
+            # view-branch matmuls stay (big, C) @ (C, W/2) — a 3-D operand
             # with a tiny middle axis tiles poorly onto the 128x128 MXU.
+            # (broadcast_to + reshape here trips the axon TPU backend's
+            # register allocator; squeeze / jnp.repeat lower cleanly.)
             nf_m1 = view_dirs2.shape[-2]
             npts = view_dirs2.shape[0]
             enc_views2 = positional_encoding(
                 view_dirs2.reshape(npts * nf_m1, 3),
                 mlp_cfg["views_positional_encoding_degree"],
             )
-            feat2 = jnp.broadcast_to(
-                feature[:, None, :], (npts, nf_m1, feature.shape[-1])
-            ).reshape(npts * nf_m1, feature.shape[-1])
+            if nf_m1 == 1:
+                feat2 = feature
+            else:
+                feat2 = jnp.repeat(feature, nf_m1, axis=0)
             vis2 = view_branch(enc_views2, feat2)["visibility"]
             out["visibility2"] = vis2.reshape(npts, nf_m1, 1)
 
     out["rgb"] = rgb
+    if bf16_matmuls:
+        # Compositing / losses stay f32: cast head outputs back up.
+        out = {k: v.astype(jnp.float32) for k, v in out.items()}
     return out
