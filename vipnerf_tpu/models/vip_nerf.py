@@ -91,10 +91,13 @@ def _run_mlp_on_samples(
     bf16_matmuls: bool,
     remat: bool,
     netchunk_map: int = 0,
+    use_fused_kernel: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Flatten (nr, ns, ...) sample tensors, run the MLP, reshape back
     (reference run_network :264-293; the host netchunk loop becomes an
-    optional on-device lax.map)."""
+    optional on-device lax.map). With use_fused_kernel (and a supported
+    config), the MLP runs as the Pallas fused kernel (ops/fused_mlp.py) —
+    no chunking needed, activations never leave VMEM."""
     nr, ns = pts.shape[0], pts.shape[1]
     pts_flat = pts.reshape(nr * ns, 3)
     vd_flat = None
@@ -106,6 +109,24 @@ def _run_mlp_on_samples(
     if view_dirs2 is not None:
         nf_m1 = view_dirs2.shape[2]
         vd2_flat = view_dirs2.reshape(nr * ns, nf_m1, 3)
+
+    if use_fused_kernel:
+        from vipnerf_tpu.ops import fused_mlp as _fm
+
+        if _fm.supports_config(mlp_cfg):
+            raw = _fm.apply_fused_mlp(
+                mlp_params,
+                mlp_cfg,
+                pts_flat,
+                vd_flat,
+                vd2_flat,
+                raw_noise_std=raw_noise_std,
+                noise_key=noise_key,
+                dtype=jnp.bfloat16 if bf16_matmuls else jnp.float32,
+            )
+            return {
+                k: v.reshape((nr, ns) + v.shape[1:]) for k, v in raw.items()
+            }
 
     def fwd(p, pf, vf, v2f):
         return apply_mlp(
@@ -218,6 +239,7 @@ def render_rays(
     bf16 = mcfg.get("bf16_matmuls", False)
     remat = mcfg.get("remat", False)
     netchunk_map = mcfg.get("netchunk_map", 0)
+    use_fused_kernel = mcfg.get("use_fused_kernel", False)
     white_bkgd = mcfg["white_bkgd"]
 
     rays_o = batch["rays_o"]
@@ -274,6 +296,7 @@ def render_rays(
             bf16=bf16,
             remat=remat,
             netchunk_map=netchunk_map,
+            use_fused_kernel=use_fused_kernel,
         )
         weights_coarse = out_c["weights"]
         out["z_vals_coarse"] = z_coarse
@@ -309,6 +332,7 @@ def render_rays(
             bf16=bf16,
             remat=remat,
             netchunk_map=netchunk_map,
+            use_fused_kernel=use_fused_kernel,
         )
         out["z_vals_fine"] = z_fine
         for k, v in out_f.items():
@@ -344,6 +368,7 @@ def _render_one_level(
     bf16: bool,
     remat: bool,
     netchunk_map: int = 0,
+    use_fused_kernel: bool = False,
 ):
     """One MLP evaluation + compositing pass (coarse or fine)."""
     # Sample points in the sampling space (NDC coords in NDC mode, :104-107)
@@ -364,6 +389,7 @@ def _render_one_level(
         bf16_matmuls=bf16,
         remat=remat,
         netchunk_map=netchunk_map,
+        use_fused_kernel=use_fused_kernel,
     )
 
     if not ndc:
