@@ -141,3 +141,58 @@ class TestDtuBuilder:
         assert intrinsic[0, 2] == 200 and intrinsic[1, 2] == 150
         np.testing.assert_allclose(w2c[:3, :3], r, atol=1e-6)
         np.testing.assert_allclose(w2c[:3, 3], t, atol=1e-6)
+
+
+class TestNativeRayStream:
+    def test_native_stream_semantics(self):
+        pytest.importorskip("ctypes")
+        from vipnerf_tpu.native import NativeRayStream, native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        s = NativeRayStream(100, seed=7)
+        block = s.next_block(4, 30)
+        assert block.shape == (4, 30) and block.dtype == np.int32
+        # first 3 rows (90 indices) come from one permutation: all distinct
+        first_epoch = block[:3].ravel()
+        assert len(set(first_epoch.tolist())) == 90
+        assert set(block.ravel().tolist()) <= set(range(100))
+        # candidates restrict values
+        cand = np.array([5, 17, 99], dtype=np.int32)
+        s2 = NativeRayStream(0, seed=1, candidates=cand)
+        b2 = s2.next_block(2, 5)
+        assert set(b2.ravel().tolist()) <= {5, 17, 99}
+        # reset to full range
+        s2.reset(count=10)
+        b3 = s2.next_block(1, 10)
+        assert sorted(b3.ravel().tolist()) == list(range(10))
+
+    def test_preprocessor_uses_native(self, llff_db):
+        from vipnerf_tpu.data import get_data_loader, get_data_preprocessor
+        from vipnerf_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        configs = {
+            "data_loader": {
+                "data_loader_name": "NerfLlffDataLoader01",
+                "data_preprocessor_name": "DataPreprocessor01",
+                "train_set_num": 9, "scene_id": "synth01",
+                "resolution_suffix": "", "recenter_camera_poses": True,
+                "bd_factor": 0.75, "spherify": False, "ndc": False,
+                "batching": True, "downsampling_factor": 1, "num_rays": 64,
+            },
+            "model": {"white_bkgd": False},
+            "seed": 3,
+        }
+        import vipnerf_tpu.db_builders.nerf_llff as llff_builder
+
+        llff_builder.create_train_test_set(llff_db, set_num=9, num_train_frames=2)
+        loader = get_data_loader(configs, llff_db, mode="train")
+        prep = get_data_preprocessor(configs, "train", loader.load_data())
+        assert prep._native_nerf is not None
+        nerf, sd = prep.get_index_chunk(0, 3)
+        assert nerf.shape == (3, 64)
+        assert sd is None
+        n_total = prep.num_frames * prep.resolution[0] * prep.resolution[1]
+        assert nerf.min() >= 0 and nerf.max() < n_total

@@ -48,6 +48,23 @@ def get_data_preprocessor(configs, mode, raw_data_dict=None, model_configs=None)
     return DataPreprocessor(configs, mode, raw_data_dict, model_configs)
 
 
+def _get_radii(rays_d: jnp.ndarray) -> jnp.ndarray:
+    """mip-NeRF pixel cone radii from x-neighbor ray-direction spacing
+    (reference get_radii :398-405). rays_d: (n, h, w, 3) -> (n, h, w, 1)."""
+    dx = jnp.sqrt(jnp.sum((rays_d[:, :-1] - rays_d[:, 1:]) ** 2, -1))
+    dx = jnp.concatenate([dx, dx[:, -2:-1]], axis=1)
+    return dx[..., None] * 2.0 / jnp.sqrt(12.0)
+
+
+def _get_radii_ndc(rays_o_ndc: jnp.ndarray) -> jnp.ndarray:
+    """NDC radii from origin spacing (reference get_radii_ndc :407-418)."""
+    dx = jnp.sqrt(jnp.sum((rays_o_ndc[:, :-1] - rays_o_ndc[:, 1:]) ** 2, -1))
+    dx = jnp.concatenate([dx, dx[:, -2:-1]], axis=1)
+    dy = jnp.sqrt(jnp.sum((rays_o_ndc[:, :, :-1] - rays_o_ndc[:, :, 1:]) ** 2, -1))
+    dy = jnp.concatenate([dy, dy[:, :, -2:-1]], axis=2)
+    return (0.5 * (dx + dy))[..., None] * 2.0 / jnp.sqrt(12.0)
+
+
 def _rescale_image(image: np.ndarray, factor: float, **kwargs) -> np.ndarray:
     from vipnerf_tpu.utils.io import rescale_image
 
@@ -71,6 +88,7 @@ class DataPreprocessor:
         self.use_batching = dl.get("batching", True)
         self.num_rays = dl["num_rays"]
 
+        self.mip_nerf_used = "mip_nerf" in dl
         self.sparse_depth_needed = "sparse_depth" in dl
         self.dense_depth_needed = "dense_depth" in dl
         self.visibility_prior_needed = "visibility_prior" in dl
@@ -97,11 +115,37 @@ class DataPreprocessor:
         self._indices_sd: Optional[np.ndarray] = None
         self._i_batch_sd = 0
 
+        # Optional native (C++) index-stream runtime; numpy fallback.
+        self._native_nerf = None
+        self._native_sd = None
+        self._use_native = dl.get("native_raystream", True)
+
         self.cache: Dict[str, jnp.ndarray] = {}
         if self.mode in ("train", "validation"):
             self._preprocess_all()
             if self.mode == "train":
                 self.model_configs = self._create_model_configs()
+            if self._use_native and self.mode == "train":
+                self._init_native_streams(seed if seed is not None else 0)
+
+    def _init_native_streams(self, seed: int):
+        """Back the index streams with the C++ runtime when available
+        (vipnerf_tpu/native). RNG differs from numpy (xorshift vs MT) —
+        stream semantics and epoch behavior are identical."""
+        try:
+            from vipnerf_tpu.native import NativeRayStream, native_available
+        except Exception:
+            return
+        if not native_available():
+            return
+        if self._indices is not None:
+            self._native_nerf = NativeRayStream(
+                len(self._indices), seed, candidates=self._indices
+            )
+        if self._indices_sd is not None:
+            self._native_sd = NativeRayStream(
+                len(self._indices_sd), seed + 1, candidates=self._indices_sd
+            )
 
     # ------------------------------------------------------------ preprocess
 
@@ -194,11 +238,19 @@ class DataPreprocessor:
         h, w = self.resolution
         n = self.num_frames
 
+        intrinsics = self.intrinsics
+        if self.mip_nerf_used:
+            # mip-NeRF uses half-pixel ray centers (reference :341-343);
+            # shifting the principal point by -0.5 is equivalent to adding
+            # 0.5 to the pixel grid.
+            intrinsics = intrinsics.copy()
+            intrinsics[:, 0, 2] -= 0.5
+            intrinsics[:, 1, 2] -= 0.5
         get_rays_batched = jax.vmap(
             lambda intr, pose: ray_ops.get_rays(h, w, intr, pose)
         )
         rays_o, rays_d = get_rays_batched(
-            jnp.asarray(self.intrinsics), jnp.asarray(self.poses)
+            jnp.asarray(intrinsics), jnp.asarray(self.poses)
         )  # (n, h, w, 3) each
         view_dirs = ray_ops.get_view_dirs(rays_d)
 
@@ -233,6 +285,15 @@ class DataPreprocessor:
             rays_o_ndc, rays_d_ndc = ndc_fn(rays_o, rays_d, fx, fy)
             cache["rays_o_ndc"] = rays_o_ndc.reshape(-1, 3).astype(jnp.float32)
             cache["rays_d_ndc"] = rays_d_ndc.reshape(-1, 3).astype(jnp.float32)
+
+        if self.mip_nerf_used:
+            # Per-pixel cone radii (reference :380-418): x-neighbor direction
+            # distances * 2/sqrt(12); NDC variant uses origin spacing.
+            rays_d_img = rays_d  # (n, h, w, 3)
+            cache["radii"] = _get_radii(rays_d_img).reshape(-1, 1).astype(jnp.float32)
+            if self.ndc:
+                o_ndc_img = rays_o_ndc  # (n, h, w, 3)
+                cache["radii_ndc"] = _get_radii_ndc(o_ndc_img).reshape(-1, 1).astype(jnp.float32)
 
         cache["poses"] = jnp.asarray(self.poses)
         self.cache = jax.device_put(cache)
@@ -406,6 +467,26 @@ class DataPreprocessor:
                  sd_indices (K, num_rays_sd) int32 or None).
         Host-side epoch reshuffles happen transparently between rows.
         """
+        if self._native_nerf is not None:
+            dl = self.configs["data_loader"]
+            precrop_end = dl.get("precrop_iterations", -1)
+            if start_iter >= precrop_end > 0 and self._native_nerf.size < (
+                self.num_frames * self.resolution[0] * self.resolution[1]
+            ):
+                # precrop window ended: restore the full index stream
+                self._native_nerf.reset(
+                    count=self.num_frames
+                    * self.resolution[0]
+                    * self.resolution[1]
+                )
+            nerf = self._native_nerf.next_block(num_iters, self.num_rays)
+            sd = None
+            if self._native_sd is not None:
+                sd = self._native_sd.next_block(
+                    num_iters, self.num_rays_sparse_depth
+                )
+            return nerf, sd
+
         nerf = np.stack(
             [self._next_nerf_indices(start_iter + i) for i in range(num_iters)]
         ).astype(np.int32)
@@ -467,6 +548,15 @@ class DataPreprocessor:
             batch["near_ndc"] = jnp.full((nr, 1), self.near_ndc, jnp.float32)
             batch["far_ndc"] = jnp.full((nr, 1), self.far_ndc, jnp.float32)
 
+        if self.mip_nerf_used:
+            batch["radii"] = jnp.where(
+                mask_nerf[:, None], cache["radii"][indices], -1.0
+            )
+            if self.ndc:
+                batch["radii_ndc"] = jnp.where(
+                    mask_nerf[:, None], cache["radii_ndc"][indices], -1.0
+                )
+
         if mask_sd is not None:
             batch["indices_mask_sparse_depth"] = mask_sd
             batch["sparse_depth_values"] = jnp.where(
@@ -514,6 +604,52 @@ class DataPreprocessor:
                 )
         return batch
 
+    def load_uncached_next_batch(
+        self, iter_num: int, image_num: Optional[int] = None
+    ) -> Dict[str, Any]:
+        """Non-batched path: random rays from one image (reference :726-772;
+        unmaintained there, functional here). Regenerates rays on the fly
+        instead of using the cache."""
+        h, w = self.resolution
+        if image_num is None:
+            img_i = int(self._rng.integers(0, self.num_frames))
+        else:
+            img_i = int(np.where(self.frame_nums == image_num)[0].item())
+
+        rays_o, rays_d = ray_ops.get_rays(
+            h, w, jnp.asarray(self.intrinsics[img_i]), jnp.asarray(self.poses[img_i])
+        )
+        rays_o = rays_o.reshape(-1, 3)
+        rays_d = rays_d.reshape(-1, 3)
+        target = jnp.asarray(self.images[img_i].reshape(-1, 3))
+        if image_num is None:
+            sel = self._rng.choice(h * w, size=self.num_rays, replace=False)
+            sel = jnp.asarray(np.sort(sel))
+            rays_o, rays_d, target = rays_o[sel], rays_d[sel], target[sel]
+        nr = rays_o.shape[0]
+        batch = {
+            "iter_num": iter_num,
+            "num_frames": self.num_frames,
+            "rays_o": rays_o,
+            "rays_d": rays_d,
+            "view_dirs": ray_ops.get_view_dirs(rays_d),
+            "target_rgb": target,
+            "indices_mask_nerf": jnp.ones((nr,), bool),
+            "near": jnp.full((nr, 1), self.near, jnp.float32),
+            "far": jnp.full((nr, 1), self.far, jnp.float32),
+        }
+        if self.ndc:
+            intr = self.intrinsics[img_i]
+            o_ndc, d_ndc = ray_ops.get_ndc_rays(
+                rays_o, rays_d, h, w, float(intr[0, 0]), float(intr[1, 1]),
+                self.near,
+            )
+            batch["rays_o_ndc"] = o_ndc
+            batch["rays_d_ndc"] = d_ndc
+            batch["near_ndc"] = jnp.full((nr, 1), self.near_ndc, jnp.float32)
+            batch["far_ndc"] = jnp.full((nr, 1), self.far_ndc, jnp.float32)
+        return batch
+
     def get_next_batch(self, iter_num: int, image_num: Optional[int] = None):
         """Reference-compatible per-iteration batch (reference :491-530).
 
@@ -521,6 +657,8 @@ class DataPreprocessor:
         validation/full-image path, reference :543-546) — no sparse-depth
         stream, matching the reference.
         """
+        if not self.use_batching:
+            return self.load_uncached_next_batch(iter_num, image_num)
         if image_num is None:
             nerf_idx = jnp.asarray(self._next_nerf_indices(iter_num))
             sd_idx = None
@@ -593,6 +731,13 @@ class DataPreprocessor:
             batch["rays_d_ndc"] = d_ndc.reshape(-1, 3)
             batch["near_ndc"] = jnp.full((nr, 1), mc["near_ndc"], jnp.float32)
             batch["far_ndc"] = jnp.full((nr, 1), mc["far_ndc"], jnp.float32)
+
+        if self.mip_nerf_used:
+            batch["radii"] = _get_radii(
+                jnp.asarray(rays_d)[None]
+            )[0].reshape(-1, 1)
+            if self.ndc:
+                batch["radii_ndc"] = _get_radii_ndc(o_ndc[None])[0].reshape(-1, 1)
 
         if secondary_poses is not None:
             sec = [prep(p.copy()) for p in secondary_poses]

@@ -76,11 +76,14 @@ class TiledRenderer:
 
     def _get_tile_fn(
         self, sec_views_vis: bool, retraw: bool, with_losses: bool,
-        return_loss_maps: bool,
+        return_loss_maps: bool, keep: Optional[Tuple[str, ...]],
+        uint8_rgb: bool,
     ) -> Callable:
-        key = (sec_views_vis, retraw, with_losses, return_loss_maps)
+        key = (sec_views_vis, retraw, with_losses, return_loss_maps, keep,
+               uint8_rgb)
         if key in self._jitted:
             return self._jitted[key]
+        keep_keys = keep if keep is not None else _KEEP_KEYS
 
         def tile_fn(params, tile_batch):
             out = self.render_fn(
@@ -91,7 +94,16 @@ class TiledRenderer:
                 sec_views_vis=sec_views_vis,
                 retraw=retraw,
             )
-            kept = {k: out[k] for k in _KEEP_KEYS if k in out}
+            kept = {k: out[k] for k in keep_keys if k in out}
+            if uint8_rgb:
+                # Quantize on device: host transfers can dominate (the axon
+                # tunnel moves device->host at ~14 MB/s) and rgb is 3/4 of
+                # the bytes. Matches post_process_image rounding.
+                for k in list(kept):
+                    if k.startswith("rgb_"):
+                        kept[k] = jnp.round(
+                            jnp.clip(kept[k], 0.0, 1.0) * 255.0
+                        ).astype(jnp.uint8)
             losses = None
             if with_losses and self.loss_computer is not None:
                 losses = self.loss_computer.compute_losses(
@@ -113,6 +125,8 @@ class TiledRenderer:
         retraw: bool = False,
         with_losses: bool = False,
         return_loss_maps: bool = False,
+        keep: Optional[Tuple[str, ...]] = None,
+        uint8_rgb: bool = False,
     ):
         """Render `batch` (nr rays), returning (outputs, losses).
 
@@ -122,16 +136,26 @@ class TiledRenderer:
         """
         nr = int(batch["rays_o"].shape[0])
         tile = min(chunk_size, nr)
-        fn = self._get_tile_fn(sec_views_vis, retraw, with_losses, return_loss_maps)
+        fn = self._get_tile_fn(
+            sec_views_vis, retraw, with_losses, return_loss_maps,
+            tuple(keep) if keep is not None else None, uint8_rgb,
+        )
+
+        # Dispatch all tiles asynchronously, fetch once at the end: a
+        # synchronous per-tile device_get serializes compute with (slow)
+        # device->host transfers and kills pipelining.
+        tile_results: List[Any] = []
+        for tile_batch in _split_batch(batch, nr, tile):
+            tile_results.append(fn(params, tile_batch))
+        tile_results = jax.device_get(tile_results)
 
         out_parts: Dict[str, List[np.ndarray]] = {}
         loss_parts: List[Any] = []
-        for tile_batch in _split_batch(batch, nr, tile):
-            kept, losses = fn(params, tile_batch)
+        for kept, losses in tile_results:
             for k, v in kept.items():
                 out_parts.setdefault(k, []).append(np.asarray(v))
             if losses is not None:
-                loss_parts.append(jax.device_get(losses))
+                loss_parts.append(losses)
 
         outputs = {k: np.concatenate(v, axis=0)[:nr] for k, v in out_parts.items()}
 

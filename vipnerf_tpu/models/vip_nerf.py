@@ -238,7 +238,13 @@ def render_rays(
     raw_noise_std = mcfg["raw_noise_std"] if train else 0.0
     bf16 = mcfg.get("bf16_matmuls", False)
     remat = mcfg.get("remat", False)
-    netchunk_map = mcfg.get("netchunk_map", 0)
+    # Training chunks small (bounds live fwd+bwd activations); inference
+    # fwd-only can take much larger chunks — sequential-loop overhead
+    # dominates otherwise (measured 9s/frame at 16k vs ~2s at 256k).
+    if train:
+        netchunk_map = mcfg.get("netchunk_map", 0)
+    else:
+        netchunk_map = mcfg.get("netchunk_map_infer", 0)
     use_fused_kernel = mcfg.get("use_fused_kernel", False)
     white_bkgd = mcfg["white_bkgd"]
 

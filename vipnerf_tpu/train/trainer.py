@@ -101,6 +101,12 @@ class Trainer:
         # Scan chunk length: how many train iterations per host dispatch.
         self.scan_steps = int(configs.get("scan_steps", 100))
 
+        # Optional on-device profiling (SURVEY.md §5: the reference has no
+        # tracing; we add jax.profiler hooks): configs['profiler'] =
+        # {'start_iter': N, 'num_iters': K} traces that window to
+        # <output>/logs/profile for TensorBoard / trace-viewer analysis.
+        self.profiler_cfg = configs.get("profiler")
+
     # --------------------------------------------------------------- training
 
     def _place_indices(self, arr: np.ndarray) -> jax.Array:
@@ -141,6 +147,17 @@ class Trainer:
                 boundaries.append(precrop_end)
             k = min(min(boundaries) - it, self.scan_steps)
 
+            profiling = (
+                self.profiler_cfg is not None
+                and self.profiler_cfg["start_iter"] <= it
+                < self.profiler_cfg["start_iter"] + self.profiler_cfg.get("num_iters", 1)
+            )
+            if profiling:
+                import jax.profiler as _prof
+
+                _prof.start_trace(
+                    (self.output_dirpath / "logs/profile").as_posix()
+                )
             nerf_idx, sd_idx = self.train_data_preprocessor.get_index_chunk(it, k)
             if sd_idx is not None:
                 self.params, self.opt_state, scalars = self.scan_train(
@@ -160,6 +177,10 @@ class Trainer:
                     self._place_indices(nerf_idx),
                 )
             scalars = jax.device_get(scalars)
+            if profiling:
+                import jax.profiler as _prof
+
+                _prof.stop_trace()
             rays_done += k * (
                 nerf_idx.shape[1] + (sd_idx.shape[1] if sd_idx is not None else 0)
             )
