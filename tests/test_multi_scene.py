@@ -1,0 +1,134 @@
+"""Multi-scene batched training on the virtual CPU mesh."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vipnerf_tpu.data.synthetic import SphereScene, write_synthetic_database
+
+
+@pytest.fixture(scope="module")
+def two_scene_db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ms") / "data/databases"
+    names = ["synth01", "synth02"]
+    for i, name in enumerate(names):
+        write_synthetic_database(
+            root,
+            scene_name=name,
+            num_frames=6,
+            train_frames=(0, 5),
+            val_frames=(2,),
+            height=24,
+            width=32,
+            scene=SphereScene(seed=10 + i),
+            with_sparse_depth=True,
+            with_visibility_prior=True,
+        )
+    # write_synthetic_database writes one scene's split CSVs at a time;
+    # rebuild them covering both scenes
+    sets_dir = root / "NeRF_LLFF/data/train_test_sets/set02"
+    for mode, frames in (("Train", (0, 5)), ("Validation", (2,)),
+                         ("Test", (1, 3, 4))):
+        lines = ["scene_name,pred_frame_num"]
+        for name in names:
+            lines += [f"{name},{f}" for f in frames]
+        (sets_dir / f"{mode}VideosData.csv").write_text("\n".join(lines) + "\n")
+    return root
+
+
+def configs_for(root):
+    return {
+        "train_num": 7,
+        "database": "NeRF_LLFF",
+        "database_dirpath": "databases/NeRF_LLFF/data",
+        "root_dirpath": str(root.parent.parent),
+        "data_loader": {
+            "data_loader_name": "NerfLlffDataLoader01",
+            "data_preprocessor_name": "DataPreprocessor01",
+            "train_set_num": 2,
+            "scene_names": ["synth01", "synth02"],
+            "resolution_suffix": "",
+            "recenter_camera_poses": True,
+            "bd_factor": 0.75,
+            "spherify": False,
+            "ndc": False,
+            "batching": True,
+            "downsampling_factor": 1,
+            "num_rays": 128,
+            "precrop_fraction": 1,
+            "precrop_iterations": -1,
+            "visibility_prior": {
+                "load_masks": True, "load_weights": False,
+                "masks_dirname": "VW02",
+            },
+            "sparse_depth": {"dirname": "DE02", "num_rays": 64},
+        },
+        "model": {
+            "name": "VipNeRF01",
+            "coarse_mlp": {
+                "num_samples": 8, "netdepth": 6, "netwidth": 32,
+                "points_positional_encoding_degree": 4,
+                "views_positional_encoding_degree": 2,
+                "use_view_dirs": True, "view_dependent_rgb": True,
+                "predict_visibility": True,
+            },
+            "chunk": 4096, "lindisp": False, "netchunk": 16384,
+            "perturb": True, "raw_noise_std": 1.0, "white_bkgd": False,
+        },
+        "losses": [
+            {"name": "MSE01", "weight": 1},
+            {"name": "VisibilityLoss01", "weight": 0.1},
+            {"name": "SparseDepthMSE01", "weight": 0.1},
+        ],
+        "optimizer": {
+            "lr_decayer_name": "NeRFLearningRateDecayer01",
+            "lr_initial": 5e-4, "lr_decay": 250, "beta1": 0.9, "beta2": 0.999,
+        },
+        "resume_training": True,
+        "num_iterations": 40,
+        "seed": 0,
+    }
+
+
+class TestMultiSceneTrainer:
+    def test_lockstep_training_and_checkpoints(self, two_scene_db):
+        import jax
+
+        from vipnerf_tpu.train.multi_scene import start_training_batched
+
+        configs = configs_for(two_scene_db)
+        trainer = start_training_batched(configs)
+
+        # scene axis is sharded over 2 devices of the mesh
+        assert len(trainer.mesh.devices.ravel()) == 2
+        assert trainer.params["coarse"]["pts_linears"][0]["w"].shape[0] == 2
+
+        root = two_scene_db.parent.parent
+        for scene in ("synth01", "synth02"):
+            ckpt = (
+                root
+                / f"runs/training/train0007/{scene}/saved_models/Model_Iter000040.ckpt"
+            )
+            assert ckpt.exists()
+            mc = root / f"runs/training/train0007/{scene}/ModelConfigs.json"
+            assert json.loads(mc.read_text())["resolution"] == [24, 32]
+
+        # scenes trained on different data -> different parameters
+        p = jax.device_get(trainer.params)
+        w0 = np.asarray(p["coarse"]["pts_linears"][0]["w"])
+        assert np.abs(w0[0] - w0[1]).max() > 1e-6
+
+    def test_losses_decrease_per_scene(self, two_scene_db):
+        from vipnerf_tpu.train.multi_scene import MultiSceneTrainer
+
+        configs = configs_for(two_scene_db)
+        trainer = MultiSceneTrainer(
+            configs,
+            ["synth01", "synth02"],
+            two_scene_db / "NeRF_LLFF/data",
+        )
+        first = trainer.train(1)
+        last = trainer.train(60)
+        assert last["TotalLoss"].shape == (2,)
+        assert (last["TotalLoss"] < first["TotalLoss"]).all()
