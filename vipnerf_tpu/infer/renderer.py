@@ -127,15 +127,28 @@ class TiledRenderer:
         return_loss_maps: bool = False,
         keep: Optional[Tuple[str, ...]] = None,
         uint8_rgb: bool = False,
+        single_dispatch: Optional[bool] = None,
     ):
         """Render `batch` (nr rays), returning (outputs, losses).
 
         outputs: dict of numpy arrays (nr, ...). losses: averaged loss dict
         over tiles (reference merge semantics, Trainer01.py:147-172) with loss
         maps concatenated, or None.
+
+        single_dispatch (default: on when not collecting losses) runs the
+        whole tile loop on device via lax.map — one host dispatch per frame
+        instead of ~8 eager slices + 1 call per tile (each eager op is a
+        full round trip on remote-tunnel backends).
         """
         nr = int(batch["rays_o"].shape[0])
         tile = min(chunk_size, nr)
+        if single_dispatch is None:
+            single_dispatch = not with_losses
+        if single_dispatch and not with_losses:
+            return self._render_single_dispatch(
+                params, batch, nr, tile, sec_views_vis, retraw,
+                tuple(keep) if keep is not None else None, uint8_rgb,
+            ), None
         fn = self._get_tile_fn(
             sec_views_vis, retraw, with_losses, return_loss_maps,
             tuple(keep) if keep is not None else None, uint8_rgb,
@@ -181,3 +194,56 @@ class TiledRenderer:
                         np.mean([p[name] for p in loss_parts])
                     )
         return outputs, merged_losses
+
+    def _render_single_dispatch(
+        self, params, batch, nr, tile, sec_views_vis, retraw, keep, uint8_rgb
+    ):
+        """One jitted program for the whole frame: pad + reshape ray fields to
+        (n_tiles, tile, ...) and lax.map the tile render on device."""
+        key = ("single", sec_views_vis, retraw, keep, uint8_rgb, tile)
+        fn = self._jitted.get(key)
+        if fn is None:
+            keep_keys = keep if keep is not None else _KEEP_KEYS
+            render_fn = self.render_fn
+            configs = self.configs
+
+            def whole_frame(params, padded_batch, const_batch):
+                def tile_body(tile_batch):
+                    out = render_fn(
+                        params,
+                        configs,
+                        {**tile_batch, **const_batch},
+                        train=False,
+                        sec_views_vis=sec_views_vis,
+                        retraw=retraw,
+                    )
+                    kept = {k: out[k] for k in keep_keys if k in out}
+                    if uint8_rgb:
+                        for k in list(kept):
+                            if k.startswith("rgb_"):
+                                kept[k] = jnp.round(
+                                    jnp.clip(kept[k], 0.0, 1.0) * 255.0
+                                ).astype(jnp.uint8)
+                    return kept
+
+                return jax.lax.map(tile_body, padded_batch)
+
+            fn = jax.jit(whole_frame)
+            self._jitted[key] = fn
+
+        num_tiles = (nr + tile - 1) // tile
+        padded = num_tiles * tile
+        tiled_batch, const_batch = {}, {}
+        for k, v in batch.items():
+            if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == nr:
+                if padded != nr:
+                    pad_width = [(0, padded - nr)] + [(0, 0)] * (v.ndim - 1)
+                    v = jnp.pad(v, pad_width, mode="edge")
+                tiled_batch[k] = v.reshape((num_tiles, tile) + v.shape[1:])
+            else:
+                const_batch[k] = v
+        stacked = jax.device_get(fn(params, tiled_batch, const_batch))
+        return {
+            k: np.asarray(v).reshape((padded,) + v.shape[2:])[:nr]
+            for k, v in stacked.items()
+        }

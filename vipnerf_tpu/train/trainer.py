@@ -303,6 +303,47 @@ class Trainer:
                         )
         return {k: v / max(len(frame_nums), 1) for k, v in total.items()}
 
+    def save_sample_images(self, iter_num: int, save_dirpath: Path):
+        """Render every train/val frame from its own pose and dump
+        frames/depths (reference save_sample_images :319-350 — defined but
+        not called by the loop there either; exposed for API parity)."""
+        for data_preprocessor in (
+            self.train_data_preprocessor,
+            self.val_data_preprocessor,
+        ):
+            for frame_num, pose in zip(
+                data_preprocessor.frame_nums, data_preprocessor.poses
+            ):
+                pose44 = np.eye(4, dtype=np.float32)
+                pose44[:3] = np.asarray(pose)[:3]
+                batch = self.train_data_preprocessor.create_test_data(
+                    pose44, preprocess_pose=False
+                )
+                outputs, _ = self.renderer.render(
+                    self.params,
+                    batch,
+                    chunk_size=self.configs["validation_chunk_size"],
+                )
+                predictions = (
+                    self.train_data_preprocessor.retrieve_inference_outputs(
+                        outputs
+                    )
+                )
+                frame_num = int(frame_num)
+                save_image(
+                    save_dirpath / f"predicted_frames/{frame_num:04}_Iter{iter_num:05}.png",
+                    predictions["image"],
+                )
+                save_numpy_array(
+                    save_dirpath / f"predicted_depths/{frame_num:04}_Iter{iter_num:05}.png",
+                    predictions["depth"],
+                )
+                save_numpy_array(
+                    save_dirpath
+                    / f"predicted_depths_variance/{frame_num:04}_Iter{iter_num:05}.png",
+                    predictions["depth_var"],
+                )
+
     # ------------------------------------------------------------ checkpoints
 
     def save_model(self, iter_num: int, save_dirpath: Path):

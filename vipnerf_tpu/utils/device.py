@@ -1,0 +1,32 @@
+"""Device helpers.
+
+Equivalents of the reference's utils/CommonUtils01.py (paths relative to
+/root/reference/): get_device (:15-26) maps a configured device list to a
+torch device; here it maps to jax devices. move_to_device (:29-44)
+recursively uploads nested dict/list structures.
+"""
+
+from typing import Any, Optional, Sequence
+
+import jax
+
+
+def get_device(device_config: Optional[Sequence[int]] = None) -> jax.Device:
+    """First configured device (the reference returns cuda:{id0} or cpu)."""
+    devices = jax.devices()
+    if not device_config:
+        return devices[0]
+    idx = device_config[0] if not isinstance(device_config, int) else device_config
+    return devices[idx % len(devices)]
+
+
+def move_to_device(data: Any, device: Optional[jax.Device] = None) -> Any:
+    """Recursively device_put arrays in nested dicts/lists/tuples."""
+    if isinstance(data, dict):
+        return {k: move_to_device(v, device) for k, v in data.items()}
+    if isinstance(data, (list, tuple)):
+        t = type(data)
+        return t(move_to_device(v, device) for v in data)
+    if hasattr(data, "shape"):
+        return jax.device_put(data, device)
+    return data
