@@ -19,7 +19,7 @@ Masked means are computed as sum(x * mask) / max(count, 1), which equals the
 reference's boolean-index mean and returns 0 on empty masks.
 """
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

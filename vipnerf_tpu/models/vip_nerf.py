@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from vipnerf_tpu.core.rays import get_view_dirs, ndc_z_to_ray_t
+from vipnerf_tpu.core.rays import ndc_z_to_ray_t
 from vipnerf_tpu.core.rendering import volume_rendering
 from vipnerf_tpu.core.sampling import coarse_z_vals, fine_z_vals
 from vipnerf_tpu.models.mlp import apply_mlp, init_mlp_params

@@ -11,7 +11,6 @@ image ids).
 import sqlite3
 import struct
 from dataclasses import dataclass
-from pathlib import Path
 from typing import Dict
 
 import numpy as np

@@ -13,7 +13,7 @@ msgpack file — crash-safe via write-to-temp + atomic rename.
 
 import os
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.serialization
 import jax

@@ -7,21 +7,19 @@ Differences by design:
 
 - The whole iteration is ONE traced computation (gather included), and K
   iterations run inside a single `lax.scan` ("step batching"), so the host
-  dispatches once per K steps instead of ~8 times per step. This is where the
-  >5M rays/s/chip target is won: at 4096 rays/step the per-step Python+dispatch
-  cost would otherwise dominate.
-- Gradient accumulation (reference sub_batch_size, :82-102) is supported via
-  `sub_batch_size`: the batch is split into equal sub-batches whose grads are
-  averaged... summed (the reference sums sub-batch losses' grads) inside the
-  step — no host involvement.
+  dispatches once per K steps instead of ~8 times per step — eliminating
+  per-step Python/dispatch overhead entirely (on the current axon backend
+  the host-dispatched variant below is used instead; see its docstring).
+- Gradient accumulation (reference sub_batch_size, :82-102): the batch is
+  split into equal sub-batches whose grads are summed inside the step (the
+  reference accumulates via repeated backward()) — no host involvement.
 - The LR schedule is an optax schedule inside the optimizer (reference mutates
   param_groups per iteration, :293-295).
 - Multi-chip: batch index arrays are sharded over the ray axis of the mesh;
   parameters are replicated; XLA inserts the grad psum over ICI.
 """
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
