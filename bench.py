@@ -19,6 +19,9 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vipnerf_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import numpy as np
 
 
