@@ -32,29 +32,61 @@ def look_at_w2c(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> np.ndarr
 
 
 class SphereScene:
-    """A few emissive spheres; supports exact color/depth rendering."""
+    """A few emissive spheres inside an enclosing textured shell.
 
-    def __init__(self, seed: int = 0, num_spheres: int = 4):
+    Every ray hits geometry (like the LLFF forward-facing scenes the
+    visibility losses were designed for) — with an unbounded empty background
+    the bidirectional VisibilityLoss fights the photometric loss and training
+    stalls, which is a scene property, not a framework one.
+    Supports exact color / z-depth rendering.
+    """
+
+    def __init__(self, seed: int = 0, num_spheres: int = 4,
+                 shell_radius: float = 6.0):
         rng = np.random.default_rng(seed)
         self.centers = rng.uniform(-0.6, 0.6, size=(num_spheres, 3))
         self.centers[:, 2] = rng.uniform(-0.5, 0.5, size=num_spheres)
         self.radii = rng.uniform(0.15, 0.3, size=num_spheres)
         self.colors = rng.uniform(0.2, 1.0, size=(num_spheres, 3))
-        self.background = np.array([0.05, 0.05, 0.1])
+        self.shell_radius = shell_radius
+        self.background = np.array([0.05, 0.05, 0.1])  # shell base color
+
+    def _shell_color(self, points: np.ndarray) -> np.ndarray:
+        """Low-frequency texture on the enclosing shell."""
+        px, py, pz = points[..., 0], points[..., 1], points[..., 2]
+        r = 0.5 + 0.35 * np.sin(1.3 * px) * np.cos(0.9 * py)
+        g = 0.45 + 0.35 * np.sin(1.1 * py + 1.0) * np.cos(0.7 * pz)
+        b = 0.55 + 0.3 * np.sin(0.8 * pz + 2.0) * np.cos(1.2 * px)
+        return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
 
     def render(self, w2c: np.ndarray, intrinsic: np.ndarray, h: int, w: int):
-        """Exact ray-traced rgb (h, w, 3 in [0,1]) and depth (h, w)."""
+        """Exact ray-traced rgb (h, w, 3 in [0,1]) and z-depth (h, w).
+
+        Depth is the camera z-depth (z = r3^T (X - C), the COLMAP/NeRF
+        convention used by the sparse-depth prior and the rendered depth
+        maps), NOT the Euclidean ray length.
+        """
         c2w = np.linalg.inv(w2c)
         x, y = np.meshgrid(np.arange(w, dtype=np.float64),
                            np.arange(h, dtype=np.float64), indexing="xy")
         pix = np.stack([x, y, np.ones_like(x)], axis=-1)
         dirs_cam = pix @ np.linalg.inv(intrinsic).T  # +z forward (Colmap)
         dirs = dirs_cam @ c2w[:3, :3].T
-        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        norms = np.linalg.norm(dirs, axis=-1)
+        dirs = dirs / norms[..., None]
         origin = c2w[:3, 3]
 
         t_best = np.full((h, w), np.inf)
-        color = np.broadcast_to(self.background, (h, w, 3)).copy()
+        color = np.zeros((h, w, 3))
+        # enclosing shell (always hit from inside)
+        oc = origin  # shell centered at origin
+        b = np.sum(dirs * oc, axis=-1)
+        disc = b ** 2 - (np.sum(oc ** 2) - self.shell_radius ** 2)
+        t_shell = -b + np.sqrt(np.maximum(disc, 0.0))
+        hit_pts = origin + dirs * t_shell[..., None]
+        t_best = t_shell
+        color = self._shell_color(hit_pts)
+
         for c, r, col in zip(self.centers, self.radii, self.colors):
             oc = origin - c
             b = np.sum(dirs * oc, axis=-1)
@@ -64,8 +96,12 @@ class SphereScene:
             valid = hit & (t > 1e-3) & (t < t_best)
             t_best = np.where(valid, t, t_best)
             color = np.where(valid[..., None], col, color)
-        depth = np.where(np.isfinite(t_best), t_best, 0.0)
-        return color, depth
+
+        # Euclidean ray length -> camera z-depth: t was measured along unit
+        # dirs; the camera-frame z component of the unit dir is
+        # (dirs_cam_z=1) / |dirs_cam|.
+        z_depth = t_best / np.linalg.norm(dirs_cam, axis=-1)
+        return color, z_depth
 
 
 def make_camera_ring(
@@ -183,7 +219,11 @@ def write_synthetic_database(
         sd_dir.mkdir(parents=True, exist_ok=True)
         for f in train_frames:
             ys, xs = np.where(depths[f] > 0)
-            k = min(100, len(xs))
+            # COLMAP produces thousands of features per LLFF image; an
+            # unrealistically tiny pool makes the 2048-ray sparse-depth
+            # stream repeat each point ~10x per batch and destabilizes the
+            # visibility-loss interaction.
+            k = min(max(200, height * width // 25), len(xs))
             sel = rng.choice(len(xs), size=k, replace=False)
             rows = ["x,y,depth,reprojection_error"]
             for j in sel:
