@@ -222,3 +222,28 @@ class TestEndToEnd:
         assert (scene_dir / "saved_models/Model_Iter000090.ckpt").exists()
         latest = scene_dir / "saved_models/Model_Latest.ckpt"
         assert latest.resolve().name == "Model_Iter000090.ckpt"
+
+    def test_resume_training_minimal_config(self, synth_root):
+        """Reference demo2 contract: resume with ONLY {train_num,
+        resume_training} — everything else is inherited from the saved
+        Configs.json (reference Trainer01.py:440-473,
+        NerfLlffTrainerTester01.py:933-940)."""
+        from vipnerf_tpu.train import start_training
+
+        minimal = {
+            "train_num": 1,
+            "resume_training": True,
+            "root_dirpath": str(synth_root),
+        }
+        start_training(minimal)  # must not crash; inherits merged configs
+        # The live dict was merged in place from the saved configs.
+        assert minimal["database_dirpath"] == "databases/NeRF_LLFF/data"
+        assert minimal["num_iterations"] == 90
+        assert minimal["data_loader"]["scene_names"] == ["synth01"]
+        # Persisted configs keep the full merged schema (minus path keys).
+        saved = json.loads(
+            (synth_root / "runs/training/train0001/Configs.json").read_text()
+        )
+        assert "root_dirpath" not in saved
+        assert saved["model"]["name"] == "VipNeRF01"
+        assert saved["seed"] == 0

@@ -146,7 +146,13 @@ def start_qa(
         pred = read_image(pred_path)[..., :3]
         score = metric_fn(gt, pred, mask) if masked else metric_fn(gt, pred)
         if score is None:
+            # Metric unavailable (e.g. LPIPS without weights): record a LOUD
+            # explicit null in QA_Scores.json rather than silently omitting
+            # one of the paper's four metrics.
             print(f"{metric_name}: unavailable (missing weights?); skipping")
+            qa_scores[pred_folder_name][metric_name] = None
+            with open(qa_scores_filepath, "w") as f:
+                simplejson.dump(qa_scores, f, indent=4)
             return None
         rows.append([scene_id, frame_num, score])
 

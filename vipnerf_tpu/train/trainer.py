@@ -382,14 +382,17 @@ def resolve_scene_ids(configs: Dict[str, Any], database_dirpath: Path):
 def start_training(configs: Dict[str, Any]):
     """Per-scene training orchestration (reference start_training :491-533)."""
     root_dirpath = Path(configs.get("root_dirpath", "."))
-    database_dirpath = root_dirpath / "data" / configs["database_dirpath"]
     output_dirpath = root_dirpath / f"runs/training/train{configs['train_num']:04}"
 
     # Run-level config persistence (reference entry points call
     # Trainer.save_configs at the train{NNNN:04} level before the scene loop,
-    # e.g. NerfLlffTrainerTester01.py:49).
+    # e.g. NerfLlffTrainerTester01.py:49). On resume the saved configs are
+    # merged into the live dict, so a minimal {train_num, resume_training}
+    # config (reference demo2) inherits everything else from disk — all reads
+    # below MUST use the merged dict.
     output_dirpath.mkdir(parents=True, exist_ok=True)
-    save_configs(output_dirpath, dict(configs))
+    configs = save_configs(output_dirpath, configs)
+    database_dirpath = root_dirpath / "data" / configs["database_dirpath"]
 
     scene_ids = resolve_scene_ids(configs, database_dirpath)
     for scene_id in scene_ids:

@@ -33,12 +33,16 @@ def dict_diff(old: Any, new: Any, prefix: str = "") -> list:
 
 def save_configs(
     output_dirpath: Path, configs: Dict[str, Any], filename: str = "Configs.json"
-):
+) -> Dict[str, Any]:
     """Persist run configs, merging with an existing file on resume
-    (reference save_configs :440-473)."""
-    configs = {
-        k: v for k, v in configs.items() if k not in ("root_dirpath", "output_dirpath")
-    }
+    (reference save_configs :440-473).
+
+    Like the reference, the merge happens on the LIVE dict — resuming with a
+    minimal config (e.g. just ``{train_num, resume_training}``, the reference's
+    demo2 contract, NerfLlffTrainerTester01.py:933-940) inherits everything
+    else from the saved Configs.json. The merged dict is both mutated in place
+    and returned; callers must consume the returned dict.
+    """
     configs_path = Path(output_dirpath) / filename
     if configs_path.exists():
         with open(configs_path) as f:
@@ -63,13 +67,22 @@ def save_configs(
             old_configs["num_iterations"] = configs["num_iterations"]
         if "device" in configs:
             old_configs["device"] = configs["device"]
-        if configs != old_configs:
+        mismatch = {
+            k: v
+            for k, v in configs.items()
+            if k not in ("root_dirpath", "output_dirpath")
+        }
+        if mismatch != old_configs:
             print(
                 "Configs mismatch while resuming training: "
-                + "; ".join(dict_diff(old_configs, configs))
+                + "; ".join(dict_diff(old_configs, mismatch))
             )
+    to_write = {
+        k: v for k, v in configs.items() if k not in ("root_dirpath", "output_dirpath")
+    }
     with open(configs_path, "w") as f:
-        simplejson.dump(configs, f, indent=4, default=str)
+        simplejson.dump(to_write, f, indent=4, default=str)
+    return configs
 
 
 def save_model_configs(
