@@ -14,7 +14,7 @@ import pytest
 from vipnerf_tpu.data.synthetic import write_synthetic_database
 
 
-def small_train_configs(root: Path, num_iterations=60):
+def small_train_configs(root: Path, num_iterations=1200):
     return {
         "trainer": "VipNerfTpuTrainer",
         "train_num": 1,
@@ -55,11 +55,25 @@ def small_train_configs(root: Path, num_iterations=60):
                 "view_dependent_rgb": True,
                 "predict_visibility": True,
             },
+            # Flagship coarse+fine hierarchy, scaled down (reference demo1a
+            # uses 64+128 samples; 16+32 keeps the CPU-mesh test fast).
+            "fine_mlp": {
+                "num_samples": 32,
+                "netdepth": 6,
+                "netwidth": 32,
+                "points_positional_encoding_degree": 4,
+                "views_positional_encoding_degree": 2,
+                "use_view_dirs": True,
+                "view_dependent_rgb": True,
+                "predict_visibility": True,
+            },
             "chunk": 4096,
             "lindisp": False,
             "netchunk": 16384,
             "perturb": True,
-            "raw_noise_std": 1.0,
+            # raw_noise_std 1.0 (the reference's LLFF value) caps this tiny
+            # scene at ~19.5 dB; the acceptance bar needs a clean sigma head.
+            "raw_noise_std": 0.0,
             "white_bkgd": False,
         },
         "losses": [
@@ -70,18 +84,18 @@ def small_train_configs(root: Path, num_iterations=60):
         ],
         "optimizer": {
             "lr_decayer_name": "NeRFLearningRateDecayer01",
-            "lr_initial": 5e-4,
+            "lr_initial": 2e-3,
             "lr_decay": 250,
             "beta1": 0.9,
             "beta2": 0.999,
         },
         "resume_training": True,
         "num_iterations": num_iterations,
-        "scan_steps": 20,
-        "validation_interval": 30,
+        "scan_steps": 100,
+        "validation_interval": 600,
         "validation_chunk_size": 1024,
         "validation_save_loss_maps": True,
-        "model_save_interval": 30,
+        "model_save_interval": 600,
         "seed": 0,
         "device": [0],
     }
@@ -117,7 +131,7 @@ class TestEndToEnd:
         # runs/ output contract
         assert (train_dir / "Configs.json").exists()
         assert (scene_dir / "ModelConfigs.json").exists()
-        assert (scene_dir / "saved_models/Model_Iter000060.ckpt").exists()
+        assert (scene_dir / "saved_models/Model_Iter001200.ckpt").exists()
         assert (scene_dir / "saved_models/Model_Latest.ckpt").is_symlink()
         assert (scene_dir / "logs/scalars.jsonl").exists()
         samples = list((scene_dir / "samples/predicted_frames").glob("*.png"))
@@ -134,7 +148,7 @@ class TestEndToEnd:
             for line in (scene_dir / "logs/scalars.jsonl").read_text().splitlines()
         ]
         total = [s["value"] for s in scalars if s["tag"] == "train/TotalLoss"]
-        assert len(total) == 60
+        assert len(total) == 1200
         assert np.mean(total[-10:]) < np.mean(total[:10])
 
         # ---- testing ----
@@ -199,9 +213,12 @@ class TestEndToEnd:
             db_dir,
             db_dir / "train_test_sets/set02/TestVideosData.csv",
         )
-        assert results["PSNR"] is not None and results["PSNR"] > 10
+        # Quality-at-convergence bar: the coarse+fine model must actually
+        # learn the scene (QA-as-acceptance, reference PSNR02 semantics).
+        # Measured 23.7 dB / 0.87 SSIM at 1200 iters; bars leave margin.
+        assert results["PSNR"] is not None and results["PSNR"] > 20
         assert results["RMSE"] is not None
-        assert 0 <= results["SSIM"] <= 1
+        assert results["SSIM"] > 0.7
         qa_dir = synth_root / "runs/testing/test0001"
         assert (qa_dir / "QA_Scores.json").exists()
         assert (
@@ -216,12 +233,13 @@ class TestEndToEnd:
     def test_resume_training(self, synth_root):
         from vipnerf_tpu.train import start_training
 
-        configs = small_train_configs(synth_root, num_iterations=90)
-        start_training(configs)  # resumes from iter 60
+        configs = small_train_configs(synth_root, num_iterations=1260)
+        configs["model_save_interval"] = 60
+        start_training(configs)  # resumes from iter 1200
         scene_dir = synth_root / "runs/training/train0001/synth01"
-        assert (scene_dir / "saved_models/Model_Iter000090.ckpt").exists()
+        assert (scene_dir / "saved_models/Model_Iter001260.ckpt").exists()
         latest = scene_dir / "saved_models/Model_Latest.ckpt"
-        assert latest.resolve().name == "Model_Iter000090.ckpt"
+        assert latest.resolve().name == "Model_Iter001260.ckpt"
 
     def test_resume_training_minimal_config(self, synth_root):
         """Reference demo2 contract: resume with ONLY {train_num,
@@ -238,7 +256,7 @@ class TestEndToEnd:
         start_training(minimal)  # must not crash; inherits merged configs
         # The live dict was merged in place from the saved configs.
         assert minimal["database_dirpath"] == "databases/NeRF_LLFF/data"
-        assert minimal["num_iterations"] == 90
+        assert minimal["num_iterations"] == 1260
         assert minimal["data_loader"]["scene_names"] == ["synth01"]
         # Persisted configs keep the full merged schema (minus path keys).
         saved = json.loads(
