@@ -87,6 +87,9 @@ def configs_for(root):
         },
         "resume_training": True,
         "num_iterations": 40,
+        "validation_interval": 20,
+        "validation_chunk_size": 1024,
+        "model_save_interval": 20,
         "seed": 0,
     }
 
@@ -104,20 +107,55 @@ class TestMultiSceneTrainer:
         assert len(trainer.mesh.devices.ravel()) == 2
         assert trainer.params["coarse"]["pts_linears"][0]["w"].shape[0] == 2
 
+        # Per-scene artifact tree matches the sequential trainer's contract:
+        # interval checkpoints + Model_Latest, per-iteration scalars,
+        # validation renders under samples/.
         root = two_scene_db.parent.parent
         for scene in ("synth01", "synth02"):
-            ckpt = (
-                root
-                / f"runs/training/train0007/{scene}/saved_models/Model_Iter000040.ckpt"
-            )
-            assert ckpt.exists()
-            mc = root / f"runs/training/train0007/{scene}/ModelConfigs.json"
+            scene_dir = root / f"runs/training/train0007/{scene}"
+            for it in (20, 40):
+                assert (
+                    scene_dir / f"saved_models/Model_Iter{it:06}.ckpt"
+                ).exists()
+            latest = scene_dir / "saved_models/Model_Latest.ckpt"
+            assert latest.is_symlink()
+            assert latest.resolve().name == "Model_Iter000040.ckpt"
+            mc = scene_dir / "ModelConfigs.json"
             assert json.loads(mc.read_text())["resolution"] == [24, 32]
+            scalars = [
+                json.loads(line)
+                for line in (scene_dir / "logs/scalars.jsonl")
+                .read_text()
+                .splitlines()
+            ]
+            total = [s for s in scalars if s["tag"] == "train/TotalLoss"]
+            assert len(total) == 40
+            assert any(s["tag"] == "train/lr" for s in scalars)
+            assert any(
+                s["tag"].startswith("validation/") for s in scalars
+            )
+            samples = list(
+                (scene_dir / "samples/predicted_frames").glob("*.png")
+            )
+            assert len(samples) > 0
 
         # scenes trained on different data -> different parameters
         p = jax.device_get(trainer.params)
         w0 = np.asarray(p["coarse"]["pts_linears"][0]["w"])
         assert np.abs(w0[0] - w0[1]).max() > 1e-6
+
+    def test_resume_from_common_checkpoint(self, two_scene_db):
+        from vipnerf_tpu.train.multi_scene import start_training_batched
+
+        configs = configs_for(two_scene_db)
+        configs["num_iterations"] = 60
+        trainer = start_training_batched(configs)  # resumes from iter 40
+        root = two_scene_db.parent.parent
+        for scene in ("synth01", "synth02"):
+            scene_dir = root / f"runs/training/train0007/{scene}"
+            assert (
+                scene_dir / "saved_models/Model_Iter000060.ckpt"
+            ).exists()
 
     def test_losses_decrease_per_scene(self, two_scene_db):
         from vipnerf_tpu.train.multi_scene import MultiSceneTrainer

@@ -504,14 +504,24 @@ class DataPreprocessor:
         nerf_indices: jnp.ndarray,
         sd_indices: Optional[jnp.ndarray],
         iter_num,
+        *,
+        cache: Optional[Dict[str, jnp.ndarray]] = None,
+        near=None,
+        far=None,
     ) -> Dict[str, Any]:
         """Pure device gather of a training batch (reference :566-724).
 
         The batch layout is [nerf rays; sparse-depth rays]; boolean stream
         masks replace the reference's -1-fill + mask bookkeeping (prior fields
         are still -1 off-stream to match loss semantics).
+
+        `cache`/`near`/`far` default to this preprocessor's own; the
+        multi-scene trainer passes per-scene rows of a stacked cache (and
+        traced per-scene bounds) so both trainers share ONE gather code path.
         """
-        cache = self.cache
+        cache = self.cache if cache is None else cache
+        near = self.near if near is None else near
+        far = self.far if far is None else far
         if sd_indices is not None:
             indices = jnp.concatenate([nerf_indices, sd_indices])
             mask_nerf = jnp.concatenate(
@@ -539,8 +549,8 @@ class DataPreprocessor:
             "target_rgb": jnp.where(
                 mask_nerf[:, None], cache["target_rgb"][indices], -1.0
             ),
-            "near": jnp.full((nr, 1), self.near, jnp.float32),
-            "far": jnp.full((nr, 1), self.far, jnp.float32),
+            "near": jnp.full((nr, 1), 1.0, jnp.float32) * near,
+            "far": jnp.full((nr, 1), 1.0, jnp.float32) * far,
         }
         if self.ndc:
             batch["rays_o_ndc"] = cache["rays_o_ndc"][indices]

@@ -74,3 +74,9 @@ def latest_checkpoint(save_dir: Path) -> Optional[Path]:
         return latest
     candidates = sorted(Path(save_dir).glob("Model_Iter*.ckpt"))
     return candidates[-1] if candidates else None
+
+
+def checkpoint_iteration(path: Path) -> int:
+    """Iteration number of a checkpoint file (resolves Model_Latest)."""
+    name = Path(path).resolve().stem  # Model_Iter{NNNNNN}
+    return int(name.replace("Model_Iter", ""))

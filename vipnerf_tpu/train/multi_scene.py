@@ -10,6 +10,14 @@ axis over the mesh, and vmapping the train step. Each device then runs its
 own scene's optimization with ZERO inter-chip collectives — perfect scaling
 (this is BASELINE.json config #5, "multi-scene batched training").
 
+Artifact parity with the sequential Trainer (reference Trainer01.py:265-317):
+the same per-scene output tree — Configs.json at the run level, per scene
+ModelConfigs.json, logs/scalars.jsonl, samples/ validation renders,
+saved_models/Model_Iter{NNNNNN:06} at model_save_interval with the
+Model_Latest symlink — plus resume from the latest common checkpoint. The
+batch gather is DataPreprocessor.gather_batch itself (one code path), called
+with per-scene rows of the stacked cache.
+
 Requirements: all scenes share resolution / frame count / static config
 (true within an LLFF/RealEstate/DTU train set).
 """
@@ -26,6 +34,8 @@ from vipnerf_tpu.data import get_data_loader, get_data_preprocessor
 from vipnerf_tpu.losses import LossComputer
 from vipnerf_tpu.models import get_model
 from vipnerf_tpu.train import checkpoints
+from vipnerf_tpu.train.logging import ScalarLogger
+from vipnerf_tpu.train.lr_schedules import get_lr_schedule
 from vipnerf_tpu.train.step import make_optimizer, make_train_step
 from vipnerf_tpu.utils.config import init_seeds, save_configs, save_model_configs
 
@@ -49,9 +59,11 @@ class MultiSceneTrainer:
         scene_ids: List,
         database_dirpath: Path,
         devices: Optional[Sequence[jax.Device]] = None,
+        output_dirpath: Optional[Path] = None,
     ):
         self.configs = configs
         self.scene_ids = list(scene_ids)
+        self.output_dirpath = Path(output_dirpath) if output_dirpath else None
         s = len(self.scene_ids)
 
         devices = list(devices if devices is not None else jax.devices())
@@ -62,8 +74,9 @@ class MultiSceneTrainer:
             f"{s} scenes must divide {len(devices)} devices"
         )
 
-        # Per-scene data
+        # Per-scene data (train + validation, like Trainer01.py:506-513)
         self.preprocessors = []
+        self.val_preprocessors = []
         for scene_id in self.scene_ids:
             cfg = dict(configs)
             cfg["data_loader"] = dict(configs["data_loader"])
@@ -73,6 +86,15 @@ class MultiSceneTrainer:
                 cfg, mode="train", raw_data_dict=loader.load_data()
             )
             self.preprocessors.append(prep)
+            val_loader = get_data_loader(cfg, database_dirpath, mode="validation")
+            self.val_preprocessors.append(
+                get_data_preprocessor(
+                    cfg,
+                    mode="validation",
+                    raw_data_dict=val_loader.load_data(),
+                    model_configs=prep.get_model_configs(),
+                )
+            )
 
         res = {tuple(p.resolution) for p in self.preprocessors}
         frames = {p.num_frames for p in self.preprocessors}
@@ -101,19 +123,6 @@ class MultiSceneTrainer:
             scene_sharded,
         )
         self.ndc = configs["data_loader"]["ndc"]
-        if self.ndc:
-            self.near_ndc = jax.device_put(
-                jnp.asarray(
-                    [p.near_ndc for p in self.preprocessors], jnp.float32
-                ),
-                scene_sharded,
-            )
-            self.far_ndc = jax.device_put(
-                jnp.asarray(
-                    [p.far_ndc for p in self.preprocessors], jnp.float32
-                ),
-                scene_sharded,
-            )
 
         # Stacked model/optimizer state
         init_fn, self.render_fn = get_model(configs)
@@ -128,16 +137,22 @@ class MultiSceneTrainer:
         self.opt_state = jax.device_put(
             jax.vmap(self.tx.init)(self.params), scene_sharded
         )
+        self.lr_schedule = get_lr_schedule(configs)
 
-        loss_computer = LossComputer(configs)
+        self.loss_computer = LossComputer(configs)
         train_step = make_train_step(
-            configs, self.render_fn, loss_computer, self.tx
+            configs, self.render_fn, self.loss_computer, self.tx
         )
-        self._gather = self._make_gather()
+        # ONE gather code path: DataPreprocessor.gather_batch over a
+        # per-scene row of the stacked cache (same fields, masks, -1 fills,
+        # NDC / mip / dense-depth handling as the sequential trainer).
+        prep0 = self.preprocessors[0]
 
         def scene_step(params, opt_state, cache, near, far, nerf_i, sd_i,
                        iter_num, key):
-            batch = self._gather(cache, near, far, nerf_i, sd_i, iter_num)
+            batch = prep0.gather_batch(
+                nerf_i, sd_i, iter_num, cache=cache, near=near, far=far
+            )
             return train_step(params, opt_state, batch, key)
 
         in_axes = (0, 0, 0, 0, 0, 0, 0 if self.with_sd else None, None, 0)
@@ -152,88 +167,91 @@ class MultiSceneTrainer:
         self._step = jax.jit(stepped, donate_argnums=(0, 1))
         self.base_key = jax.random.PRNGKey(seed)
         self.scene_sharded = scene_sharded
+        self._loggers: Optional[List[ScalarLogger]] = None
+        self._renderer = None
 
     @property
     def with_sd(self) -> bool:
         return self.preprocessors[0].sparse_depth_needed
 
-    def _make_gather(self):
-        """Pure per-scene batch gather over a stacked cache row.
+    # ------------------------------------------------------------------ utils
 
-        near/far arrive as per-scene scalars ((,) after vmap slicing);
-        everything else mirrors DataPreprocessor.gather_batch.
-        """
-        prep0 = self.preprocessors[0]
-        num_frames = prep0.num_frames
-        ndc = self.ndc
-        with_sd = self.with_sd
-        poses_needed = prep0.poses_needed
-        vis_needed = prep0.visibility_prior_needed
+    def _scene_dir(self, i: int) -> Path:
+        assert self.output_dirpath is not None
+        return self.output_dirpath / f"{self.scene_ids[i]}"
 
-        def gather(cache, near, far, nerf_idx, sd_idx, iter_num):
-            if with_sd:
-                indices = jnp.concatenate([nerf_idx, sd_idx])
-                mask_nerf = jnp.concatenate(
-                    [
-                        jnp.ones(nerf_idx.shape[0], bool),
-                        jnp.zeros(sd_idx.shape[0], bool),
-                    ]
-                )
-                mask_sd = ~mask_nerf
-            else:
-                indices = nerf_idx
-                mask_nerf = jnp.ones(nerf_idx.shape[0], bool)
-                mask_sd = None
-            nr = indices.shape[0]
-            batch = {
-                "iter_num": iter_num,
-                "num_frames": num_frames,
-                "indices_mask_nerf": mask_nerf,
-                "rays_o": cache["rays_o"][indices],
-                "rays_d": cache["rays_d"][indices],
-                "view_dirs": cache["view_dirs"][indices],
-                "pixel_id": cache["pixel_id"][indices],
-                "target_rgb": jnp.where(
-                    mask_nerf[:, None], cache["target_rgb"][indices], -1.0
-                ),
-                "near": jnp.full((nr, 1), 1.0) * near,
-                "far": jnp.full((nr, 1), 1.0) * far,
-            }
-            if ndc:
-                batch["rays_o_ndc"] = cache["rays_o_ndc"][indices]
-                batch["rays_d_ndc"] = cache["rays_d_ndc"][indices]
-                batch["near_ndc"] = jnp.zeros((nr, 1), jnp.float32)
-                batch["far_ndc"] = jnp.ones((nr, 1), jnp.float32)
-            if mask_sd is not None:
-                batch["indices_mask_sparse_depth"] = mask_sd
-                batch["sparse_depth_values"] = jnp.where(
-                    mask_sd[:, None],
-                    cache["sparse_depth_values"][indices],
-                    -1.0,
-                )
-            if poses_needed:
-                batch["poses"] = cache["poses"]
-            if vis_needed and "visibility_prior_masks" in cache:
-                batch["visibility_prior_masks"] = jnp.where(
-                    mask_nerf[:, None],
-                    cache["visibility_prior_masks"][indices],
-                    -1.0,
-                )
-            if vis_needed and "visibility_prior_weights" in cache:
-                batch["visibility_prior_weights"] = jnp.where(
-                    mask_nerf[:, None],
-                    cache["visibility_prior_weights"][indices],
-                    -1.0,
-                )
-            return batch
+    def _get_loggers(self) -> List[ScalarLogger]:
+        if self._loggers is None:
+            assert self.output_dirpath is not None, (
+                "scalar logging needs output_dirpath"
+            )
+            self._loggers = [
+                ScalarLogger(self._scene_dir(i) / "logs")
+                for i in range(len(self.scene_ids))
+            ]
+        return self._loggers
 
-        return gather
+    def load_checkpoints(self) -> int:
+        """Resume from the latest checkpoint ALL scenes share (scenes train
+        in lockstep, so a common iteration is required); returns start iter."""
+        if self.output_dirpath is None:
+            return 0
+        iters = []
+        for i in range(len(self.scene_ids)):
+            latest = checkpoints.latest_checkpoint(
+                self._scene_dir(i) / "saved_models"
+            )
+            if latest is None:
+                return 0
+            iters.append(checkpoints.checkpoint_iteration(latest))
+        start = min(iters)
+        params_rows, opt_rows = [], []
+        p0 = _unstack_pytree(jax.device_get(self.params), 0)
+        o0 = _unstack_pytree(jax.device_get(self.opt_state), 0)
+        for i in range(len(self.scene_ids)):
+            path = (
+                self._scene_dir(i)
+                / f"saved_models/Model_Iter{start:06}.ckpt"
+            )
+            it, p, o = checkpoints.load_checkpoint(path, p0, o0)
+            assert it == start
+            params_rows.append(p)
+            opt_rows.append(o)
+        self.params = jax.device_put(
+            _stack_pytrees(params_rows), self.scene_sharded
+        )
+        self.opt_state = jax.device_put(
+            _stack_pytrees(opt_rows), self.scene_sharded
+        )
+        print(f"Resuming multi-scene training from iteration {start + 1}")
+        return start
 
-    def train(self, num_iterations: int, log_every: int = 100):
-        """Run all scenes in lockstep; returns per-scene final loss scalars."""
+    # --------------------------------------------------------------- training
+
+    def train(
+        self,
+        num_iterations: int,
+        *,
+        validation_interval: Optional[int] = None,
+        model_save_interval: Optional[int] = None,
+        log_scalars: bool = True,
+    ):
+        """Lockstep loop with the sequential trainer's observable behavior:
+        per-iteration scalars, validation renders and interval checkpoints
+        per scene. Returns per-scene final loss scalars."""
         s = len(self.scene_ids)
+        can_persist = self.output_dirpath is not None
+        validation_interval = validation_interval or self.configs.get(
+            "validation_interval"
+        )
+        model_save_interval = model_save_interval or self.configs.get(
+            "model_save_interval"
+        )
+        loggers = self._get_loggers() if (log_scalars and can_persist) else None
+
+        start_iter = self.load_checkpoints() if can_persist else 0
         scalars = None
-        for it in range(num_iterations):
+        for it in range(start_iter, num_iterations):
             nerf_rows, sd_rows = [], []
             for p in self.preprocessors:
                 n, d = p.get_index_chunk(it, 1)
@@ -264,7 +282,94 @@ class MultiSceneTrainer:
                     it,
                     keys,
                 )
+            step = it + 1
+            if loggers is not None:
+                host_scalars = jax.device_get(scalars)
+                lr = float(self.lr_schedule(it))
+                for i, logger in enumerate(loggers):
+                    for name, vals in host_scalars.items():
+                        logger.add_scalar(
+                            f"train/{name}", float(vals[i]), step
+                        )
+                    logger.add_scalar("train/lr", lr, step)
+            if (
+                can_persist
+                and validation_interval
+                and step % validation_interval == 0
+            ):
+                self.run_validation(it)
+            if (
+                can_persist
+                and model_save_interval
+                and step % model_save_interval == 0
+            ):
+                self.save_checkpoints(self.output_dirpath, step)
+        if loggers is not None:
+            for logger in loggers:
+                logger.flush()
         return jax.device_get(scalars)
+
+    # ------------------------------------------------------------- validation
+
+    def run_validation(self, iter_num: int):
+        """Per-scene validation renders into the sequential trainer's
+        samples/ tree (reference run_validation, Trainer01.py:109-263)."""
+        from vipnerf_tpu.infer.renderer import TiledRenderer
+        from vipnerf_tpu.utils.io import save_image, save_numpy_array
+
+        if self._renderer is None:
+            self._renderer = TiledRenderer(
+                self.render_fn, self.configs, loss_computer=self.loss_computer
+            )
+        chunk_size = self.configs.get("validation_chunk_size", 65536)
+        params_host = jax.device_get(self.params)
+        loggers = self._get_loggers()
+        for i in range(len(self.scene_ids)):
+            params_i = _unstack_pytree(params_host, i)
+            save_dirpath = self._scene_dir(i) / "samples"
+            for prep, tag in (
+                (self.preprocessors[i], "validation/train_images"),
+                (self.val_preprocessors[i], "validation/val_images"),
+            ):
+                h, w = prep.resolution
+                total: Dict[str, float] = {}
+                for frame_num in prep.frame_nums:
+                    frame_num = int(frame_num)
+                    batch = prep.get_next_batch(iter_num, image_num=frame_num)
+                    outputs, losses = self._renderer.render(
+                        params_i,
+                        batch,
+                        chunk_size=chunk_size,
+                        sec_views_vis=prep.mode == "train",
+                        retraw=True,
+                        with_losses=True,
+                    )
+                    for name, val in losses.items():
+                        v = val["loss_value"] if isinstance(val, dict) else val
+                        total[name] = total.get(name, 0.0) + float(v)
+                    for mode in ("coarse", "fine"):
+                        if f"rgb_{mode}" not in outputs:
+                            continue
+                        itag = f"{mode}_Iter{iter_num + 1:05}"
+                        save_image(
+                            save_dirpath
+                            / f"predicted_frames/{frame_num:04}_{itag}.png",
+                            np.clip(
+                                outputs[f"rgb_{mode}"].reshape(h, w, 3), 0, 1
+                            ),
+                        )
+                        save_numpy_array(
+                            save_dirpath
+                            / f"predicted_depths/{frame_num:04}_{itag}.npy",
+                            outputs[f"depth_{mode}"].reshape(h, w),
+                            as_png=True,
+                        )
+                n = max(len(prep.frame_nums), 1)
+                loggers[i].add_scalars(
+                    tag, {k: v / n for k, v in total.items()}, iter_num + 1
+                )
+
+    # ------------------------------------------------------------ checkpoints
 
     def save_checkpoints(self, output_dirpath: Path, iteration_num: int):
         """Per-scene checkpoints with the standard naming contract."""
@@ -283,16 +388,18 @@ class MultiSceneTrainer:
 def start_training_batched(configs: Dict[str, Any]):
     """Multi-scene entry point mirroring start_training's contract."""
     root_dirpath = Path(configs.get("root_dirpath", "."))
-    database_dirpath = root_dirpath / "data" / configs["database_dirpath"]
     output_dirpath = root_dirpath / f"runs/training/train{configs['train_num']:04}"
     output_dirpath.mkdir(parents=True, exist_ok=True)
-    save_configs(output_dirpath, dict(configs))
+    configs = save_configs(output_dirpath, configs)
+    database_dirpath = root_dirpath / "data" / configs["database_dirpath"]
     init_seeds(configs.get("seed", 0))
 
     from vipnerf_tpu.train.trainer import resolve_scene_ids
 
     scene_ids = resolve_scene_ids(configs, database_dirpath)
-    trainer = MultiSceneTrainer(configs, scene_ids, database_dirpath)
+    trainer = MultiSceneTrainer(
+        configs, scene_ids, database_dirpath, output_dirpath=output_dirpath
+    )
     for i, scene_id in enumerate(scene_ids):
         scene_dir = output_dirpath / f"{scene_id}"
         scene_dir.mkdir(parents=True, exist_ok=configs.get("resume_training", True))
