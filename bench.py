@@ -39,7 +39,9 @@ def main():
     )
 
     bf16 = os.environ.get("BENCH_BF16", "1") == "1"
-    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    # remat default ON: recomputing the (cheap, fast-PE) forward beats
+    # saving ~10 activation tensors to HBM (measured 77 -> 60 ms/step).
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
     netchunk_map = int(os.environ.get("BENCH_NCMAP", "16384"))
     k_steps = int(os.environ.get("BENCH_STEPS", "50"))
     num_rays = 2048
@@ -196,12 +198,55 @@ def main():
     best = min(times)
     rays_per_step = num_rays + num_rays_sd
     value = k_steps * rays_per_step / best
+
+    # ---- render throughput (BASELINE tracked metric: fps at 1008x756) ----
+    # Full-image inference through the single-dispatch TiledRenderer path
+    # (reference chunked eval: /root/reference/src/Tester01.py:57-66).
+    render_fps = render_rays_s = None
+    if os.environ.get("BENCH_RENDER", "1") == "1":
+        try:
+            from vipnerf_tpu.infer.renderer import TiledRenderer
+
+            configs["model"]["netchunk_map_infer"] = int(
+                os.environ.get("BENCH_NCMAP_INFER", "262144")
+            )
+            renderer = TiledRenderer(render_fn, configs)
+            pose = np.eye(4, dtype=np.float32)
+            pose[2, 3] = -1.0
+            test_batch = prep.create_test_data(pose, preprocess_pose=False)
+            n_render_rays = h * w
+            kwargs = dict(
+                chunk_size=int(os.environ.get("BENCH_RENDER_TILE", "65536")),
+                keep=("rgb_fine", "depth_fine"),
+                uint8_rgb=True,
+            )
+            renderer.render(params, test_batch, **kwargs)  # compile+warm
+            t0 = time.time()
+            outputs, _ = renderer.render(params, test_batch, **kwargs)
+            dt = time.time() - t0
+            render_fps = 1.0 / dt
+            render_rays_s = n_render_rays / dt
+        except Exception as e:  # noqa: BLE001 - keep the headline metric alive
+            print(f"# render bench failed: {type(e).__name__}: {e}",
+                  file=__import__("sys").stderr)
+
     result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "rays/s",
         "vs_baseline": round(value / 5e6, 4),
     }
+    if render_fps is not None:
+        result["render_fps_1008x756"] = round(render_fps, 4)
+        result["render_rays_per_sec"] = round(render_rays_s, 1)
+        # second standalone line so the render metric is driver-visible on
+        # its own as well
+        print(json.dumps({
+            "metric": "render_fps_1008x756",
+            "value": round(render_fps, 4),
+            "unit": "fps",
+            "vs_baseline": round(render_fps / 30.0, 6),  # 30 fps = real-time
+        }))
     print(json.dumps(result))
     # diagnostics to stderr-adjacent lines (driver reads the JSON line)
     import sys

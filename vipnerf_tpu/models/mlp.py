@@ -134,9 +134,14 @@ def apply_mlp(
     view_dep_rgb = mlp_cfg["view_dependent_rgb"]
     predict_visibility = mlp_cfg["predict_visibility"]
     view_dep_outputs = view_dep_rgb or predict_visibility
+    # fast_encoding swaps 2*degree transcendentals for a double-angle
+    # recurrence. Measured SLOWER on the v5e (the 21 narrow-lane concats cost
+    # more in relayouts than the sin/cos cost on the VPU) — default OFF;
+    # kept as an option for backends where transcendentals dominate.
+    fast_pe = mlp_cfg.get("fast_encoding", False)
 
     enc_pts = positional_encoding(
-        pts, mlp_cfg["points_positional_encoding_degree"]
+        pts, mlp_cfg["points_positional_encoding_degree"], fast=fast_pe
     )
 
     out: Dict[str, jnp.ndarray] = {}
@@ -180,7 +185,8 @@ def apply_mlp(
             return branch
 
         enc_views = positional_encoding(
-            view_dirs, mlp_cfg["views_positional_encoding_degree"]
+            view_dirs, mlp_cfg["views_positional_encoding_degree"],
+            fast=fast_pe,
         )
         primary = view_branch(enc_views, feature)
         out.update(primary)
@@ -198,6 +204,7 @@ def apply_mlp(
             enc_views2 = positional_encoding(
                 view_dirs2.reshape(npts * nf_m1, 3),
                 mlp_cfg["views_positional_encoding_degree"],
+                fast=fast_pe,
             )
             if nf_m1 == 1:
                 feat2 = feature

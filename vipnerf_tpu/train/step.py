@@ -204,10 +204,15 @@ def make_host_loop_train(
 
 
 def default_step_dispatch() -> str:
-    """'scan' where lax.scan compiles sanely; 'host' on the axon TPU backend
-    (its AOT compiler currently blows up on scanned train steps)."""
-    backend = jax.default_backend()
-    return "host" if backend not in ("cpu", "gpu") else "scan"
+    """'scan' everywhere: one host dispatch per K-step chunk.
+
+    On the remote-tunnel TPU backend each host dispatch costs milliseconds,
+    so the host-loop variant (2 dispatches/step) measures up to ~30 ms/step
+    slower than the scanned chunk. The backend's earlier pathological
+    compile times for scanned train steps no longer reproduce (~2 min with
+    the persistent compile cache); 'host' remains available via
+    configs['step_dispatch'] as a fallback."""
+    return "scan"
 
 
 def make_scan_train_nosd(
