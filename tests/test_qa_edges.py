@@ -1,0 +1,299 @@
+"""Edge-path coverage: config merge semantics, visibility-weights prior
+cache, NDC sparse-depth cache, and DTU masked QA end-to-end.
+
+These are the paths VERDICT round 1 flagged as implemented-but-untested:
+- save_configs / save_test_configs merge behavior (reference
+  Trainer01.py:440-473, Tester01.py:110-138)
+- visibility_prior.load_weights cache + loss consumption
+  (DataPreprocessor01.py:465-487, VisibilityPriorLoss01.py:36-44)
+- NDC sparse-depth conversion cache (DataPreprocessor01.py:432-447)
+- DTU masked metrics over ObjectMasks (qa/05..08_Masked*).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vipnerf_tpu.data.synthetic import write_synthetic_database
+
+
+def _llff_config(root: Path, **dl_overrides):
+    dl = {
+        "data_loader_name": "NerfLlffDataLoader01",
+        "data_preprocessor_name": "DataPreprocessor01",
+        "train_set_num": 2,
+        "scene_names": ["synth01"],
+        "scene_id": "synth01",
+        "resolution_suffix": "",
+        "recenter_camera_poses": True,
+        "bd_factor": 0.75,
+        "spherify": False,
+        "ndc": False,
+        "batching": True,
+        "downsampling_factor": 1,
+        "num_rays": 64,
+        "precrop_fraction": 1,
+        "precrop_iterations": -1,
+        "visibility_prior": {
+            "load_masks": True,
+            "load_weights": False,
+            "masks_dirname": "VW02",
+        },
+        "sparse_depth": {"dirname": "DE02", "num_rays": 32},
+    }
+    dl.update(dl_overrides)
+    return {
+        "database": "NeRF_LLFF",
+        "database_dirpath": "databases/NeRF_LLFF/data",
+        "root_dirpath": str(root),
+        "data_loader": dl,
+        "model": {
+            "name": "VipNeRF01",
+            "coarse_mlp": {
+                "num_samples": 8, "netdepth": 2, "netwidth": 16,
+                "points_positional_encoding_degree": 2,
+                "views_positional_encoding_degree": 1,
+                "use_view_dirs": True, "view_dependent_rgb": True,
+                "predict_visibility": True,
+            },
+            "chunk": 4096, "lindisp": False, "netchunk": 16384,
+            "perturb": True, "raw_noise_std": 0.0, "white_bkgd": False,
+        },
+        "losses": [
+            {"name": "MSE01", "weight": 1},
+            {"name": "VisibilityPriorLoss01", "weight": 0.001},
+        ],
+        "optimizer": {
+            "lr_decayer_name": "NeRFLearningRateDecayer01",
+            "lr_initial": 5e-4, "lr_decay": 250,
+            "beta1": 0.9, "beta2": 0.999,
+        },
+        "num_iterations": 10,
+        "seed": 0,
+    }
+
+
+@pytest.fixture(scope="module")
+def llff_db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("edges")
+    write_synthetic_database(
+        root / "data/databases",
+        scene_name="synth01",
+        num_frames=6,
+        train_frames=(0, 5),
+        val_frames=(2,),
+        height=24,
+        width=32,
+    )
+    return root
+
+
+class TestConfigMergeSemantics:
+    def test_save_configs_inherits_and_extends(self, tmp_path):
+        from vipnerf_tpu.utils.config import save_configs
+
+        first = {
+            "train_num": 3,
+            "seed": 42,
+            "num_iterations": 100,
+            "data_loader": {"scene_names": ["a"]},
+            "root_dirpath": "/somewhere",
+            "device": [0],
+        }
+        save_configs(tmp_path, dict(first))
+        on_disk = json.loads((tmp_path / "Configs.json").read_text())
+        assert "root_dirpath" not in on_disk
+        assert on_disk["seed"] == 42
+
+        # Resume attempt: new scenes, longer run, different seed -> seed is
+        # INHERITED from disk, scene lists merge, num_iterations extends.
+        second = {
+            "train_num": 3,
+            "seed": 7,
+            "num_iterations": 200,
+            "data_loader": {"scene_names": ["b"]},
+            "device": [1],
+        }
+        merged = save_configs(tmp_path, second)
+        assert merged is second  # in-place merge, reference semantics
+        assert merged["seed"] == 42
+        assert merged["data_loader"]["scene_names"] == ["a", "b"]
+        assert merged["num_iterations"] == 200
+        on_disk = json.loads((tmp_path / "Configs.json").read_text())
+        assert on_disk["num_iterations"] == 200
+        assert on_disk["data_loader"]["scene_names"] == ["a", "b"]
+
+    def test_save_test_configs_scene_merge(self, tmp_path):
+        from vipnerf_tpu.infer.tester import save_test_configs
+
+        save_test_configs(
+            tmp_path,
+            {"test_num": 2, "scene_names": ["x"], "train_num": 1,
+             "root_dirpath": "/r"},
+        )
+        on_disk = json.loads((tmp_path / "Configs.json").read_text())
+        assert "root_dirpath" not in on_disk
+        save_test_configs(
+            tmp_path, {"test_num": 2, "scene_names": ["y"], "device": [0]}
+        )
+        on_disk = json.loads((tmp_path / "Configs.json").read_text())
+        assert on_disk["scene_names"] == ["x", "y"]
+        assert on_disk["train_num"] == 1  # inherited
+
+
+class TestVisibilityWeightsPrior:
+    def test_weights_cache_and_loss_path(self, llff_db):
+        import jax
+        import jax.numpy as jnp
+
+        from vipnerf_tpu.data import get_data_loader, get_data_preprocessor
+        from vipnerf_tpu.losses import LossComputer
+        from vipnerf_tpu.models import get_model
+
+        configs = _llff_config(
+            llff_db,
+            visibility_prior={
+                "load_masks": False,
+                "load_weights": True,
+                "weights_dirname": "VW02",
+            },
+        )
+        loader = get_data_loader(
+            configs, llff_db / "data/databases/NeRF_LLFF/data", mode="train"
+        )
+        raw = loader.load_data()
+        assert "weights" in raw["visibility_prior_data"]
+        prep = get_data_preprocessor(configs, mode="train", raw_data_dict=raw)
+        assert "visibility_prior_weights" in prep.cache
+        assert "visibility_prior_masks" not in prep.cache
+        n, h, w = 2, 24, 32  # 2 train frames
+        assert prep.cache["visibility_prior_weights"].shape == (n * h * w, 1)
+        # loader wrote weights = fg * 0.9 + 0.05 (synthetic db contract;
+        # the shell scene makes every pixel foreground -> 0.95)
+        vals = np.unique(np.asarray(prep.cache["visibility_prior_weights"]))
+        assert np.all(
+            np.isclose(vals, 0.95, atol=1e-6) | np.isclose(vals, 0.05, atol=1e-6)
+        )
+
+        # The weights flow into the batch and the VisibilityPriorLoss
+        # weights-mode branch produces a finite nonzero loss.
+        batch = prep.get_next_batch(0)
+        assert "visibility_prior_weights" in batch
+        init_fn, render_fn = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        outputs = render_fn(
+            params, configs, batch, train=True, rng=jax.random.PRNGKey(1)
+        )
+        losses = LossComputer(configs).compute_losses(batch, outputs)
+        val = float(losses["VisibilityPriorLoss01"]["loss_value"])
+        assert np.isfinite(val) and val > 0
+
+
+class TestNdcSparseDepthCache:
+    def test_cache_values_roundtrip(self, llff_db):
+        import jax.numpy as jnp
+
+        from vipnerf_tpu.core.rays import depth_from_ndc
+        from vipnerf_tpu.data import get_data_loader, get_data_preprocessor
+
+        configs = _llff_config(llff_db, ndc=True)
+        loader = get_data_loader(
+            configs, llff_db / "data/databases/NeRF_LLFF/data", mode="train"
+        )
+        prep = get_data_preprocessor(
+            configs, mode="train", raw_data_dict=loader.load_data()
+        )
+        vals = np.asarray(prep.cache["sparse_depth_values"])[:, 0]
+        ndc_vals = np.asarray(prep.cache["sparse_depth_values_ndc"])[:, 0]
+        valid = vals != -1
+        assert valid.any() and (~valid).any()
+        # invalid entries stay -1 in the NDC cache too
+        assert np.all(ndc_vals[~valid] == -1)
+        assert np.all(ndc_vals[valid] >= 0) and np.all(ndc_vals[valid] <= 1)
+        # NDC depths invert back to the metric depths through the same rays
+        rays_o = np.asarray(prep.cache["rays_o"])[valid]
+        rays_d = np.asarray(prep.cache["rays_d"])[valid]
+        back = np.asarray(
+            depth_from_ndc(
+                jnp.asarray(ndc_vals[valid][:, None]),
+                jnp.asarray(rays_o),
+                jnp.asarray(rays_d),
+                near=1.0,  # the reference's hardcoded NDC near
+            )
+        )[:, 0]
+        assert np.allclose(back, vals[valid], rtol=1e-3, atol=1e-3)
+
+
+class TestDtuMaskedQa:
+    def test_masked_metrics_end_to_end(self, tmp_path):
+        from vipnerf_tpu.qa import run_all_qa
+        from vipnerf_tpu.utils.io import read_image, save_image
+
+        db_root = tmp_path / "data/databases"
+        gt = write_synthetic_database(
+            db_root,
+            dataset="DTU",
+            scene_name="1",
+            num_frames=4,
+            train_frames=(0, 3),
+            val_frames=(),
+            height=24,
+            width=32,
+        )
+        db_dir = db_root / "DTU/data"
+        scene_dir = db_dir / "all/database_data/1"
+        # DTU scene dirs are zero-padded numbers
+        scene_dir05 = db_dir / "all/database_data/00001"
+        scene_dir.rename(scene_dir05)
+
+        # object masks: foreground spheres
+        masks_dir = scene_dir05 / "ObjectMasks"
+        masks_dir.mkdir()
+        rng = np.random.default_rng(0)
+        test_frames = [1, 2]
+        for f in range(4):
+            mask = (gt["depths"][f] < 5.0).astype(np.uint8) * 255
+            save_image(masks_dir / f"{f:04}.png", mask)
+
+        # predictions: heavy noise outside the mask, near-perfect (+-1 LSB,
+        # avoids an infinite masked PSNR) inside
+        pred_root = tmp_path / "runs/testing/test0001"
+        pred_dir = pred_root / "00001/predicted_frames"
+        pred_dir.mkdir(parents=True)
+        for f in test_frames:
+            img = gt["images"][f].astype(np.int32)
+            img = np.clip(img + rng.integers(-1, 2, img.shape), 0, 255)
+            img = img.astype(np.uint8)
+            mask = np.asarray(read_image(masks_dir / f"{f:04}.png"))
+            mask2 = mask if mask.ndim == 2 else mask[..., 0]
+            noise = rng.integers(0, 255, img.shape, dtype=np.uint8)
+            img = np.where((mask2 > 127)[..., None], img, noise)
+            save_image(pred_dir / f"{f:04}.png", img)
+
+        frames_csv = db_dir / "train_test_sets/set02/TestVideosData.csv"
+        results = run_all_qa(
+            "DTU", pred_root, db_dir, frames_csv,
+            mask_folder_name="ObjectMasks",
+        )
+        # masked metrics see only the near-perfect masked region
+        assert results["MaskedRMSE"] < 2
+        assert results["MaskedPSNR"] > 40
+        # unmasked metrics see the noise
+        assert results["RMSE"] > 10
+        scores = json.loads((pred_root / "QA_Scores.json").read_text())
+        for name in ("MaskedRMSE05", "MaskedPSNR05", "MaskedSSIM05",
+                     "RMSE05", "PSNR05", "SSIM05"):
+            assert name in scores["predicted_frames"]
+        for name in ("MaskedRMSE05", "MaskedPSNR05"):
+            csv = (
+                pred_root
+                / f"QA_Scores/predicted_frames/{name}_FrameWise.csv"
+            )
+            assert csv.exists()
+            scene_csv = (
+                pred_root
+                / f"QA_Scores/predicted_frames/{name}_SceneWise.csv"
+            )
+            assert scene_csv.exists()
