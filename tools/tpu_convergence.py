@@ -119,6 +119,7 @@ def main():
     parser.add_argument("--height", type=int, default=96)
     parser.add_argument("--width", type=int, default=128)
     parser.add_argument("--raw_noise_std", type=float, default=1.0)
+    parser.add_argument("--grad_clip_norm", type=float, default=None)
     parser.add_argument("--ndc", action="store_true")
     parser.add_argument("--test_frames", type=int, default=3)
     parser.add_argument("--root", default=None)
@@ -142,6 +143,8 @@ def main():
     )
     configs = full_size_configs(root, args.iters, args.raw_noise_std,
                                 ndc=args.ndc)
+    if args.grad_clip_norm:
+        configs["optimizer"]["grad_clip_norm"] = args.grad_clip_norm
 
     t0 = time.time()
     start_training(configs)

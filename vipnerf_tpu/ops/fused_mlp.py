@@ -1,9 +1,17 @@
 """Fused ViP-NeRF MLP as Pallas TPU kernels (forward + custom-VJP backward).
 
+STATUS (round 2, measured with DCE-proof K-fold timing on the v5e): the XLA
+path in models/mlp.py runs the same 1M-point workload at 14.7 ms forward /
+53 ms forward+backward (~45% MXU on the forward), while this kernel measures
+26.8 ms forward at TILE=2048 and the backward kernel fails Mosaic compilation
+above TILE=512 (VMEM pressure from the resident activation set). The kernel
+therefore stays OPT-IN (`use_fused_kernel`) and is NOT on the production
+path; the numerics are parity-tested (tests/test_fused_mlp.py) and the
+structure is kept as the starting point for a pipelined rewrite (the gap is
+per-tile serialization of the many small matmuls, not numerics).
+
 The hot loop of training (SURVEY.md §3.1) is ~1M point evaluations per step
-through the 8x256 trunk + heads. The XLA path (models/mlp.py) reaches ~34%
-MXU utilization: the odd contraction dims (63 / 319 / 283) tile poorly, and
-the backend materializes activations to HBM between layers. This kernel:
+through the 8x256 trunk + heads. This kernel:
 
 - pads the contraction dims to 64 / 320 / 288 once at weight-packing time,
 - keeps the entire per-tile computation (8 trunk layers + skip concat +

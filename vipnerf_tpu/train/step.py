@@ -30,14 +30,24 @@ from vipnerf_tpu.train.lr_schedules import get_lr_schedule
 
 
 def make_optimizer(configs: Dict[str, Any]) -> optax.GradientTransformation:
-    """Adam with the configured schedule (reference Trainer01.py:519-521)."""
+    """Adam with the configured schedule (reference Trainer01.py:519-521).
+
+    Optional `optimizer.grad_clip_norm`: global-norm gradient clipping ahead
+    of Adam. The reference has no clipping (default None = exact parity);
+    it guards against the sparse-depth runaway documented in BASELINE.md
+    (depth/(acc+1e-6) excursions can destroy a converged model in ~30 steps).
+    """
     opt_cfg = configs["optimizer"]
     schedule = get_lr_schedule(configs)
-    return optax.adam(
+    adam = optax.adam(
         learning_rate=schedule,
         b1=opt_cfg.get("beta1", 0.9),
         b2=opt_cfg.get("beta2", 0.999),
     )
+    clip = opt_cfg.get("grad_clip_norm")
+    if clip:
+        return optax.chain(optax.clip_by_global_norm(float(clip)), adam)
+    return adam
 
 
 def make_train_step(
