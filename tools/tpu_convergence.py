@@ -120,6 +120,7 @@ def main():
     parser.add_argument("--width", type=int, default=128)
     parser.add_argument("--raw_noise_std", type=float, default=1.0)
     parser.add_argument("--grad_clip_norm", type=float, default=None)
+    parser.add_argument("--vis_loss_weight", type=float, default=0.1)
     parser.add_argument("--ndc", action="store_true")
     parser.add_argument("--test_frames", type=int, default=3)
     parser.add_argument("--root", default=None)
@@ -145,6 +146,9 @@ def main():
                                 ndc=args.ndc)
     if args.grad_clip_norm:
         configs["optimizer"]["grad_clip_norm"] = args.grad_clip_norm
+    for loss in configs["losses"]:
+        if loss["name"] == "VisibilityLoss01":
+            loss["weight"] = args.vis_loss_weight
 
     t0 = time.time()
     start_training(configs)
