@@ -241,6 +241,39 @@ class TestEndToEnd:
         latest = scene_dir / "saved_models/Model_Latest.ckpt"
         assert latest.resolve().name == "Model_Iter001260.ckpt"
 
+    def test_visibility_only_ablation(self, synth_root):
+        """Reference demo1d-1f: visibility prior only, NO sparse_depth block
+        (NerfLlffTrainerTester01.py:616-625) — exercises the no-sparse-depth
+        index stream and loss path end to end."""
+        import json as _json
+
+        from vipnerf_tpu.train import start_training
+
+        configs = small_train_configs(synth_root, num_iterations=40)
+        configs["train_num"] = 9
+        del configs["data_loader"]["sparse_depth"]
+        configs["losses"] = [
+            {"name": "MSE01", "weight": 1},
+            {"name": "VisibilityLoss01", "weight": 0.1},
+            {"name": "VisibilityPriorLoss01",
+             "iter_weights": {"0": 0, "30": 0.001}},
+        ]
+        configs["validation_interval"] = 40
+        configs["model_save_interval"] = 40
+        configs["scan_steps"] = 20
+        start_training(configs)
+        scene_dir = synth_root / "runs/training/train0009/synth01"
+        assert (scene_dir / "saved_models/Model_Iter000040.ckpt").exists()
+        scalars = [
+            _json.loads(line)
+            for line in (scene_dir / "logs/scalars.jsonl").read_text().splitlines()
+        ]
+        total = [s["value"] for s in scalars if s["tag"] == "train/TotalLoss"]
+        assert len(total) == 40
+        assert np.mean(total[-5:]) < np.mean(total[:5])
+        # no sparse-depth loss logged in the ablation
+        assert not any("SparseDepth" in s["tag"] for s in scalars)
+
     def test_resume_training_minimal_config(self, synth_root):
         """Reference demo2 contract: resume with ONLY {train_num,
         resume_training} — everything else is inherited from the saved
