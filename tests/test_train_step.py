@@ -201,3 +201,88 @@ class TestGradClipping:
         for tree in (up_plain, up_clip):
             for leaf in jax.tree_util.tree_leaves(tree):
                 assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+class TestLossGuard:
+    def test_rejects_excursions_accepts_normal(self):
+        import optax
+
+        from vipnerf_tpu.train.guards import loss_guard
+
+        tx = loss_guard(
+            optax.sgd(1.0), factor=5.0, ema_decay=0.9, warmup=3,
+            max_consecutive_skips=4,
+        )
+        params = {"w": jnp.ones((3,))}
+        grads = {"w": jnp.full((3,), 0.1)}
+        state = tx.init(params)
+
+        # warmup: always accepted, EMA tracks
+        for loss in (1.0, 1.1, 0.9):
+            updates, state = tx.update(grads, state, params, loss=loss)
+            assert float(jnp.abs(updates["w"]).sum()) > 0
+        ema_after_warmup = float(state.ema)
+        assert 0.8 < ema_after_warmup < 1.2
+
+        # normal step: accepted
+        updates, state = tx.update(grads, state, params, loss=1.0)
+        assert float(jnp.abs(updates["w"]).sum()) > 0
+
+        # excursion (100x the EMA): REJECTED — zero update, EMA unchanged
+        ema_before = float(state.ema)
+        updates, state = tx.update(grads, state, params, loss=100.0)
+        assert float(jnp.abs(updates["w"]).sum()) == 0
+        assert float(state.ema) == ema_before
+        assert int(state.skips) == 1
+
+        # recovery: next normal step accepted, skip counter resets
+        updates, state = tx.update(grads, state, params, loss=1.0)
+        assert float(jnp.abs(updates["w"]).sum()) > 0
+        assert int(state.skips) == 0
+
+    def test_fail_open_after_max_skips(self):
+        import optax
+
+        from vipnerf_tpu.train.guards import loss_guard
+
+        tx = loss_guard(
+            optax.sgd(1.0), factor=2.0, ema_decay=0.9, warmup=1,
+            max_consecutive_skips=3,
+        )
+        params = {"w": jnp.ones((2,))}
+        grads = {"w": jnp.ones((2,))}
+        state = tx.init(params)
+        _, state = tx.update(grads, state, params, loss=1.0)  # warmup
+        # sustained high loss: 3 skips then forced acceptance (never freezes)
+        accepted = []
+        for _ in range(5):
+            updates, state = tx.update(grads, state, params, loss=50.0)
+            accepted.append(float(jnp.abs(updates["w"]).sum()) > 0)
+        assert accepted[:3] == [False, False, False]
+        assert accepted[3] is True
+
+    def test_train_step_with_guard_runs(self):
+        """End-to-end: guard config through make_optimizer/make_train_step."""
+        from vipnerf_tpu.losses import LossComputer
+        from vipnerf_tpu.models import get_model
+        from vipnerf_tpu.train.step import make_optimizer, make_train_step
+
+        configs = small_configs()
+        configs["optimizer"] = {
+            **configs["optimizer"],
+            "loss_guard": {"factor": 10.0, "warmup": 5},
+        }
+        init_fn, render_fn = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        lc = LossComputer(configs)
+        tx = make_optimizer(configs)
+        opt_state = tx.init(params)
+        cache = make_cache()
+        gather = make_gather(cache)
+        batch = gather(jnp.arange(64), None, 0)
+        step = make_train_step(configs, render_fn, lc, tx)
+        p2, opt_state, scalars = jax.jit(step)(
+            params, opt_state, batch, jax.random.PRNGKey(1)
+        )
+        assert np.isfinite(float(scalars["TotalLoss"]))
+        assert int(opt_state.count) == 1

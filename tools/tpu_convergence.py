@@ -121,6 +121,7 @@ def main():
     parser.add_argument("--raw_noise_std", type=float, default=1.0)
     parser.add_argument("--grad_clip_norm", type=float, default=None)
     parser.add_argument("--vis_loss_weight", type=float, default=0.1)
+    parser.add_argument("--loss_guard", action="store_true")
     parser.add_argument("--ndc", action="store_true")
     parser.add_argument("--test_frames", type=int, default=3)
     parser.add_argument("--root", default=None)
@@ -149,6 +150,8 @@ def main():
     for loss in configs["losses"]:
         if loss["name"] == "VisibilityLoss01":
             loss["weight"] = args.vis_loss_weight
+    if args.loss_guard:
+        configs["optimizer"]["loss_guard"] = {}
 
     t0 = time.time()
     start_training(configs)

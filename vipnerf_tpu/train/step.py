@@ -45,9 +45,18 @@ def make_optimizer(configs: Dict[str, Any]) -> optax.GradientTransformation:
         b2=opt_cfg.get("beta2", 0.999),
     )
     clip = opt_cfg.get("grad_clip_norm")
-    if clip:
-        return optax.chain(optax.clip_by_global_norm(float(clip)), adam)
-    return adam
+    tx = (
+        optax.chain(optax.clip_by_global_norm(float(clip)), adam)
+        if clip
+        else adam
+    )
+    guard_cfg = opt_cfg.get("loss_guard")
+    if guard_cfg is not None:
+        from vipnerf_tpu.train.guards import loss_guard
+
+        tx = loss_guard(tx, **guard_cfg)
+    # Uniform extra-args interface: train_step always passes loss=...
+    return optax.with_extra_args_support(tx)
 
 
 def make_train_step(
@@ -111,7 +120,9 @@ def make_train_step(
             )
             scalars = jax.tree_util.tree_map(jnp.sum, scalars_all)
 
-        updates, opt_state = tx.update(grads, opt_state, params)
+        updates, opt_state = tx.update(
+            grads, opt_state, params, loss=scalars["TotalLoss"]
+        )
         params = optax.apply_updates(params, updates)
         return params, opt_state, scalars
 
