@@ -207,8 +207,11 @@ def main():
         try:
             from vipnerf_tpu.infer.renderer import TiledRenderer
 
+            # Measured optimum (v5e, post sample_pdf rewrite): small tiles
+            # pipeline better — 8192/32768 gives 0.344 fps vs 0.245 at
+            # 65536/262144.
             configs["model"]["netchunk_map_infer"] = int(
-                os.environ.get("BENCH_NCMAP_INFER", "262144")
+                os.environ.get("BENCH_NCMAP_INFER", "32768")
             )
             renderer = TiledRenderer(render_fn, configs)
             pose = np.eye(4, dtype=np.float32)
@@ -216,7 +219,7 @@ def main():
             test_batch = prep.create_test_data(pose, preprocess_pose=False)
             n_render_rays = h * w
             kwargs = dict(
-                chunk_size=int(os.environ.get("BENCH_RENDER_TILE", "65536")),
+                chunk_size=int(os.environ.get("BENCH_RENDER_TILE", "8192")),
                 keep=("rgb_fine", "depth_fine"),
                 uint8_rgb=True,
             )
