@@ -53,7 +53,9 @@ class NerfTester:
 
         self.params = init_fn(jax.random.PRNGKey(0), train_configs)
         self.renderer = TiledRenderer(self.render_fn, train_configs)
-        self.chunk_size = test_configs.get("chunk_size", 65536)
+        # Measured render optimum on v5e: small tiles pipeline better after
+        # the gather-free sample_pdf rewrite (BASELINE.md round-2 notes).
+        self.chunk_size = test_configs.get("chunk_size", 8192)
 
     def load_model(self, model_path: Path):
         model_path = Path(model_path)
