@@ -109,6 +109,34 @@ def _test_configs(root):
     }
 
 
+class TestAppTesting:
+    def test_start_testing_with_qa_subprocess(self, app_env):
+        """App-layer start_testing: scenes_data from split CSVs, tester
+        with all output kinds, then QA as a subprocess (the reference's
+        os.system call, NerfLlffTrainerTester01.py:104-112) exercising the
+        standalone `python -m vipnerf_tpu.qa.runner` CLI."""
+        import json
+
+        root, app = app_env
+        cfg = _test_configs(root)
+        cfg["test_num"] = 3
+        out = app.start_testing(cfg, run_qa=True)
+        assert out == root / "runs/testing/test0003"
+        # test frames (2) rendered with depth/var; visibility pairs for
+        # train frames (0, 3)
+        test_dir = out / "synth01"
+        assert (test_dir / "predicted_frames/0002.png").exists()
+        assert (test_dir / "predicted_depths/0002.npy").exists()
+        assert (test_dir / "predicted_depths_variance/0002.npy").exists()
+        assert (test_dir / "predicted_visibilities/0000_0003.npy").exists()
+        # QA subprocess wrote scores through the CLI entry point
+        scores = json.loads((out / "QA_Scores.json").read_text())
+        assert "PSNR02" in scores["predicted_frames"]
+        assert (
+            out / "QA_Scores/predicted_frames/PSNR02_SceneWise.csv"
+        ).exists()
+
+
 class TestVideoRendering:
     def test_spiral_video(self, app_env):
         root, app = app_env
