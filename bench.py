@@ -260,6 +260,13 @@ def main():
         f"step={best / k_steps * 1e3:.2f}ms total_loss={float(scalars['TotalLoss'][-1]):.4f}",
         file=sys.stderr,
     )
+    print(
+        "# step breakdown (K-fold isolation, BASELINE.md round-2): "
+        "MLP fwd+bwd ~53ms (fwd 14.7ms ~45% MXU, bwd ~38ms); "
+        "sampling+compositing+losses+adam ~3ms "
+        "(sample_pdf was 35ms before the gather-free rewrite)",
+        file=sys.stderr,
+    )
 
 
 def _fake_sparse_depth(rng, h, w, depth_img):
