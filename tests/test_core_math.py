@@ -31,6 +31,21 @@ class TestPositionalEncoding:
         x = jnp.ones((2, 3))
         np.testing.assert_array_equal(encoding.positional_encoding(x, 0), x)
 
+    @pytest.mark.parametrize("degree", [4, 10])
+    def test_fast_matches_exact(self, degree):
+        # The shipped fast=True option (double-angle recurrence) must match
+        # the exact path within its documented ~2^degree * eps amplification.
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(-3, 3, (64, 3)), jnp.float32
+        )
+        exact = encoding.positional_encoding(x, degree, fast=False)
+        fast = encoding.positional_encoding(x, degree, fast=True)
+        assert fast.shape == exact.shape
+        tol = 2.0**degree * np.finfo(np.float32).eps * 4
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(exact), atol=tol
+        )
+
 
 class TestRays:
     def test_principal_ray_looks_down_minus_z(self):

@@ -240,6 +240,30 @@ class TestLossGuard:
         assert float(jnp.abs(updates["w"]).sum()) > 0
         assert int(state.skips) == 0
 
+    def test_warmup_zero_seeds_ema_from_first_loss(self):
+        # Regression (ADVICE r2): with warmup=0 the EMA started at 0 and was
+        # only seeded on an accepted step, so accept = loss <= factor*0
+        # rejected every step until the fail-open fired.
+        import optax
+
+        from vipnerf_tpu.train.guards import loss_guard
+
+        tx = loss_guard(
+            optax.sgd(1.0), factor=5.0, ema_decay=0.9, warmup=0,
+            max_consecutive_skips=100,
+        )
+        params = {"w": jnp.ones((2,))}
+        grads = {"w": jnp.ones((2,))}
+        state = tx.init(params)
+        # first step must be accepted and seed the EMA
+        updates, state = tx.update(grads, state, params, loss=2.0)
+        assert float(jnp.abs(updates["w"]).sum()) > 0
+        assert float(state.ema) == 2.0
+        # subsequent in-distribution steps keep being accepted
+        updates, state = tx.update(grads, state, params, loss=2.1)
+        assert float(jnp.abs(updates["w"]).sum()) > 0
+        assert int(state.skips) == 0
+
     def test_fail_open_after_max_skips(self):
         import optax
 

@@ -32,11 +32,13 @@ def positional_encoding(
 
     fast=True replaces the 2*degree transcendentals per element with ONE
     sin/cos pair plus the double-angle recurrence
-    (sin 2a = 2 sin a cos a, cos 2a = cos^2 a - sin^2 a) — measured ~10x
-    cheaper on the TPU VPU, where sin/cos dominate the encoder. The recurrence
+    (sin 2a = 2 sin a cos a, cos 2a = cos^2 a - sin^2 a). The recurrence
     amplifies f32 rounding by ~2^degree (~6e-5 absolute at degree 10), far
-    below bfloat16 input resolution, so the bf16-matmul training path enables
-    it by default; exact mode remains for f32 parity work.
+    below bfloat16 input resolution. On the v5e the mode measured SLOWER
+    than exact (the 2*degree+1 narrow concats cost more in relayouts than
+    the transcendentals save on the VPU), so it is opt-in via the model
+    config `fast_encoding` and OFF by default — kept for backends where
+    sin/cos dominate.
     """
     if degree <= 0:
         return x

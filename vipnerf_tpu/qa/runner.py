@@ -150,7 +150,9 @@ def start_qa(
             # explicit null in QA_Scores.json rather than silently omitting
             # one of the paper's four metrics.
             print(f"{metric_name}: unavailable (missing weights?); skipping")
-            qa_scores[pred_folder_name][metric_name] = None
+            # setdefault: never clobber a previously computed average with
+            # null when the metric becomes unavailable on a re-run.
+            qa_scores[pred_folder_name].setdefault(metric_name, None)
             with open(qa_scores_filepath, "w") as f:
                 simplejson.dump(qa_scores, f, indent=4)
             return None

@@ -77,7 +77,14 @@ def loss_guard(
         )
         in_warmup = state.count < warmup
         force_accept = state.skips >= max_consecutive_skips
-        accept = in_warmup | force_accept | (loss <= factor * state.ema)
+        # The very first step always seeds the EMA (even with warmup=0):
+        # otherwise accept = loss <= factor*0 rejects every step until the
+        # fail-open fires, starting training in a reject/force-accept cycle.
+        first_step = state.count == 0
+        accept = (
+            first_step | in_warmup | force_accept
+            | (loss <= factor * state.ema)
+        )
 
         def select(a, b):
             return jax.tree_util.tree_map(
