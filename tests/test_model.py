@@ -151,6 +151,38 @@ class TestMLP:
         )
         assert np.abs(np.asarray(c["sigma"]) - np.asarray(a["sigma"])).max() > 0
 
+    def test_pad_contractions_bitwise_identical(self):
+        # pad_contractions aligns K dims (63->64, 319->320, 283->288) with
+        # zero rows/cols; outputs AND parameter gradients must be bitwise
+        # identical to the unpadded path.
+        cfg = small_mlp_cfg(
+            netdepth=8,
+            netwidth=256,
+            points_positional_encoding_degree=10,
+            views_positional_encoding_degree=4,
+        )
+        cfg_pad = dict(cfg, pad_contractions=True)
+        params = init_mlp_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(5)
+        pts = jnp.asarray(rng.normal(size=(96, 3)), jnp.float32)
+        vd = jnp.asarray(rng.normal(size=(96, 3)), jnp.float32)
+        vd2 = jnp.asarray(rng.normal(size=(96, 2, 3)), jnp.float32)
+        a = apply_mlp(params, cfg, pts, vd, vd2)
+        b = apply_mlp(params, cfg_pad, pts, vd, vd2)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+        def loss(p, c):
+            out = apply_mlp(p, c, pts, vd, vd2)
+            return sum(jnp.sum(jnp.square(v)) for v in out.values())
+
+        ga = jax.grad(lambda p: loss(p, cfg))(params)
+        gb = jax.grad(lambda p: loss(p, cfg_pad))(params)
+        for xa, xb in zip(
+            jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
+        ):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
     def test_bf16_matmuls_close_to_f32(self):
         cfg = small_mlp_cfg()
         params = init_mlp_params(jax.random.PRNGKey(0), cfg)

@@ -89,6 +89,36 @@ def init_mlp_params(key: jax.Array, mlp_cfg: Dict[str, Any]) -> Params:
     return params
 
 
+def _ceil_to(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
+def _pad_cols(x: jnp.ndarray, to: int) -> jnp.ndarray:
+    """Zero-pad the last axis of `x` out to width `to`."""
+    if x.shape[-1] == to:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, to - x.shape[-1])])
+
+
+def _pad_rows_at(
+    layer: Dict[str, jnp.ndarray], idx: int, n: int
+) -> Dict[str, jnp.ndarray]:
+    """Insert `n` zero rows into layer's weight at row `idx`.
+
+    Aligns the layer with an input whose feature block at [idx-?, idx) was
+    zero-padded: the zero rows multiply the zero columns, so the output is
+    bitwise-unchanged while the contraction dim becomes MXU-tile aligned.
+    Under autodiff the transpose of the concatenate is a slice, so parameter
+    gradients land on the original unpadded weight.
+    """
+    if n == 0:
+        return layer
+    w = layer["w"]
+    zeros = jnp.zeros((n, w.shape[1]), w.dtype)
+    wp = jnp.concatenate([w[:idx], zeros, w[idx:]], axis=0)
+    return {"w": wp, "b": layer["b"]}
+
+
 def _dense(
     x: jnp.ndarray, layer: Dict[str, jnp.ndarray], bf16: bool
 ) -> jnp.ndarray:
@@ -139,16 +169,28 @@ def apply_mlp(
     # more in relayouts than the sin/cos cost on the VPU) — default OFF;
     # kept as an option for backends where transcendentals dominate.
     fast_pe = mlp_cfg.get("fast_encoding", False)
+    # pad_contractions: zero-pad the positional encodings (and the matching
+    # weight rows) so every matmul contraction dim is a multiple of 16 —
+    # 63->64, 319->320 (skip concat), 283->288 (view concat). The unpadded
+    # dims force XLA into misaligned MXU tilings; outputs are bitwise
+    # identical because the padded rows/cols are zeros.
+    pad_k = mlp_cfg.get("pad_contractions", False)
 
     enc_pts = positional_encoding(
         pts, mlp_cfg["points_positional_encoding_degree"], fast=fast_pe
     )
+    pts_in = enc_pts.shape[-1]
+    if pad_k:
+        enc_pts = _pad_cols(enc_pts, _ceil_to(pts_in, 16))
 
     out: Dict[str, jnp.ndarray] = {}
 
     # Trunk (reference get_view_independent_outputs :537-544)
     h = enc_pts
     for i, layer in enumerate(params["pts_linears"]):
+        if pad_k and (i == 0 or (i - 1) in skips):
+            # layers that consume enc_pts (directly or via the skip concat)
+            layer = _pad_rows_at(layer, pts_in, enc_pts.shape[-1] - pts_in)
         h = jax.nn.relu(_dense(h, layer, bf16_matmuls))
         if i in skips:
             h = jnp.concatenate([enc_pts, h], axis=-1)
@@ -171,8 +213,18 @@ def apply_mlp(
 
         def view_branch(enc_views: jnp.ndarray, feat: jnp.ndarray):
             """Reference get_view_dependent_outputs (:568-596)."""
+            views_in = enc_views.shape[-1]
+            if pad_k:
+                enc_views = _pad_cols(enc_views, _ceil_to(views_in, 16))
             hv = jnp.concatenate([feat, enc_views], axis=-1)
-            for layer in params["views_linears"]:
+            for li, layer in enumerate(params["views_linears"]):
+                if pad_k and li == 0:
+                    # enc_views sits at the END of the concat: appended rows
+                    layer = _pad_rows_at(
+                        layer,
+                        feat.shape[-1] + views_in,
+                        enc_views.shape[-1] - views_in,
+                    )
                 hv = jax.nn.relu(_dense(hv, layer, bf16_matmuls))
             view_out = _dense(hv, params["views_output_linear"], bf16_matmuls)
             branch: Dict[str, jnp.ndarray] = {}

@@ -79,6 +79,23 @@ def _compute_other_view_dirs(
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
+def _remat_wrap(fn, remat):
+    """Wrap `fn` in jax.checkpoint per the model's `remat` config.
+
+    remat: False/None = no rematerialization; True = full remat (recompute
+    the whole forward in the backward pass); "dots" = save matmul outputs,
+    recompute only elementwise ops (positional encodings, relu, concats) —
+    the backward then never re-runs the MXU work.
+    """
+    if not remat:
+        return fn
+    if remat == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_saveable
+        )
+    return jax.checkpoint(fn)
+
+
 def _run_mlp_on_samples(
     mlp_params: Params,
     mlp_cfg: Dict[str, Any],
@@ -140,8 +157,7 @@ def _run_mlp_on_samples(
             bf16_matmuls=bf16_matmuls,
         )
 
-    if remat:
-        fwd = jax.checkpoint(fwd)
+    fwd = _remat_wrap(fwd, remat)
 
     if netchunk_map and nr * ns > netchunk_map:
         # On-device point chunking: lax.map over fixed-size chunks. Unlike
@@ -175,21 +191,15 @@ def _run_mlp_on_samples(
                 if noise_key is not None
                 else None
             )
-            inner = apply_mlp
-            if remat:
-                inner = jax.checkpoint(
-                    lambda p, a, b, c: apply_mlp(
-                        p, mlp_cfg, a, b, c,
-                        raw_noise_std=raw_noise_std, noise_key=key,
-                        bf16_matmuls=bf16_matmuls,
-                    )
-                )
-                return inner(mlp_params, pf, vf, v2f)
-            return apply_mlp(
-                mlp_params, mlp_cfg, pf, vf, v2f,
-                raw_noise_std=raw_noise_std, noise_key=key,
-                bf16_matmuls=bf16_matmuls,
+            inner = _remat_wrap(
+                lambda p, a, b, c: apply_mlp(
+                    p, mlp_cfg, a, b, c,
+                    raw_noise_std=raw_noise_std, noise_key=key,
+                    bf16_matmuls=bf16_matmuls,
+                ),
+                remat,
             )
+            return inner(mlp_params, pf, vf, v2f)
 
         raw = jax.lax.map(body, xs)
         raw = {
