@@ -1,0 +1,182 @@
+"""Multi-device correctness: DP train-step equivalence and sharded rendering.
+
+The reference's parallelism is torch.nn.DataParallel over the ray axis at
+train AND test time (/root/reference/src/Trainer01.py:517, Tester01.py:42).
+These tests assert the actual correctness property of the TPU replacement on
+the 8-device virtual CPU mesh: the same math, sharded, produces the same
+numbers as one device.
+"""
+
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vipnerf_tpu.infer.renderer import TiledRenderer
+from vipnerf_tpu.losses import LossComputer
+from vipnerf_tpu.models import get_model
+from vipnerf_tpu.parallel.mesh import make_mesh, ray_sharding, replicate
+from vipnerf_tpu.train.step import (
+    make_optimizer,
+    make_scan_train_nosd,
+    make_train_step,
+)
+from vipnerf_tpu.train.trainer import Trainer
+
+from tests.test_train_step import make_cache, make_gather, small_configs
+
+
+class TestDataParallelEquivalence:
+    def test_k_steps_sharded_match_single_device(self):
+        """K train steps with the batch axis sharded over 8 devices must
+        produce the same params as K steps on one device (fp32 tolerance).
+        This is the DataParallel-replacement correctness property
+        (reference Trainer01.py:517)."""
+        configs = small_configs()
+        init_fn, render_fn = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        lc = LossComputer(configs)
+        tx = make_optimizer(configs)
+        cache = make_cache()
+        gather = make_gather(cache)
+        ts = make_train_step(configs, render_fn, lc, tx)
+        scan_run = make_scan_train_nosd(configs, gather, ts, donate=False)
+
+        key = jax.random.PRNGKey(3)
+        idx_np = (
+            np.random.default_rng(1).integers(0, 512, (6, 64)).astype(np.int32)
+        )
+
+        # single device: everything placed on device 0
+        dev0 = jax.devices()[0]
+        p1, _, s1 = scan_run(
+            jax.device_put(params, dev0),
+            jax.device_put(tx.init(params), dev0),
+            key,
+            10,
+            jax.device_put(jnp.asarray(idx_np), dev0),
+        )
+
+        # 8-device mesh: params/opt replicated, index batch axis sharded
+        mesh = make_mesh()
+        assert mesh.size == 8
+        rep = replicate(mesh)
+        idx_sharded = jax.device_put(idx_np, ray_sharding(mesh, axis=1))
+        assert len(idx_sharded.sharding.device_set) == 8
+        p8, _, s8 = scan_run(
+            jax.device_put(params, rep),
+            jax.device_put(tx.init(params), rep),
+            key,
+            10,
+            idx_sharded,
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(s1["TotalLoss"]), np.asarray(s8["TotalLoss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5
+            )
+
+    def test_place_indices_shards_on_multi_device(self):
+        """Trainer._place_indices must actually shard the batch axis when
+        multiple devices are present (and fall back cleanly when the batch
+        does not divide)."""
+        mesh = make_mesh()
+        fake = SimpleNamespace(mesh=mesh, multi_device=True)
+        arr = np.arange(5 * 64, dtype=np.int32).reshape(5, 64)
+        placed = Trainer._place_indices(fake, arr)
+        assert len(placed.sharding.device_set) == 8
+        # non-divisible batch axis: placed unsharded rather than crashing
+        odd = np.arange(5 * 63, dtype=np.int32).reshape(5, 63)
+        placed_odd = Trainer._place_indices(fake, odd)
+        assert len(placed_odd.sharding.device_set) == 1
+
+
+def _render_batch(n=300, nf=3, seed=0):
+    rng = np.random.default_rng(seed)
+    rays_d = (rng.normal(size=(n, 3)) - [0, 0, 3.0]).astype(np.float32)
+    return {
+        "rays_o": jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        "rays_d": jnp.asarray(rays_d),
+        "view_dirs": jnp.asarray(
+            rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+        ),
+        "near": jnp.full((n, 1), 1.0),
+        "far": jnp.full((n, 1), 4.0),
+        # test-time secondary origins (reference Tester01.py:85-86 path)
+        "rays_o2": jnp.asarray(
+            rng.normal(size=(n, nf - 1, 3)).astype(np.float32)
+        ),
+    }
+
+
+class TestShardedRendering:
+    def test_sharded_render_matches_single_device(self):
+        """TiledRenderer with a mesh = TiledRenderer without, bit-for-bit
+        goal, fp32 tolerance (reference Tester01.py:42 DataParallel)."""
+        configs = small_configs()
+        init_fn, render_fn = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        batch = _render_batch()
+
+        single = TiledRenderer(render_fn, configs)
+        sharded = TiledRenderer(render_fn, configs, mesh=make_mesh())
+        assert sharded.mesh is not None
+
+        for kwargs in (
+            dict(single_dispatch=True),
+            dict(single_dispatch=False),
+            dict(single_dispatch=True, sec_views_vis=True),
+        ):
+            out1, _ = single.render(params, batch, chunk_size=64, **kwargs)
+            out8, _ = sharded.render(params, batch, chunk_size=64, **kwargs)
+            assert set(out1) == set(out8)
+            for k in out1:
+                np.testing.assert_allclose(
+                    out1[k], out8[k], atol=1e-5, rtol=1e-5,
+                    err_msg=f"key {k} kwargs {kwargs}",
+                )
+
+    def test_sharded_render_with_losses(self):
+        """The eager tile path with loss computation also shards."""
+        configs = small_configs()
+        init_fn, render_fn = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        lc = LossComputer(configs)
+        batch = _render_batch()
+        batch["target_rgb"] = jnp.asarray(
+            np.random.default_rng(9).uniform(size=(300, 3)).astype(np.float32)
+        )
+        batch["indices_mask_nerf"] = jnp.ones((300,), bool)
+        batch["num_frames"] = 3
+        batch["iter_num"] = 0
+
+        single = TiledRenderer(render_fn, configs, loss_computer=lc)
+        sharded = TiledRenderer(
+            render_fn, configs, loss_computer=lc, mesh=make_mesh()
+        )
+        out1, l1 = single.render(
+            params, batch, chunk_size=64, with_losses=True, retraw=True
+        )
+        out8, l8 = sharded.render(
+            params, batch, chunk_size=64, with_losses=True, retraw=True
+        )
+        for k in out1:
+            np.testing.assert_allclose(out1[k], out8[k], atol=1e-5, rtol=1e-5)
+        assert np.isclose(l1["TotalLoss"], l8["TotalLoss"], rtol=1e-5)
+
+    def test_tile_rounding_to_mesh_multiple(self):
+        """chunk_size not divisible by the mesh size still works (rounded
+        down to a multiple, min one per device)."""
+        configs = small_configs()
+        init_fn, render_fn = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        batch = _render_batch(n=100)
+        sharded = TiledRenderer(render_fn, configs, mesh=make_mesh())
+        out, _ = sharded.render(params, batch, chunk_size=50)
+        assert out["rgb_coarse"].shape == (100, 3)

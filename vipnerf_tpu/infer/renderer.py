@@ -1,4 +1,4 @@
-"""Tiled full-image rendering.
+"""Tiled full-image rendering, optionally sharded over a device mesh.
 
 TPU-native replacement for the reference's chunked inference loops
 (src/models/VipNeRF01.py:47-72 `batchify_rays` and
@@ -7,6 +7,13 @@ src/Trainer01.py:130-221 validation chunking, paths relative to
 jitted tile function (compiled once per config), looping tiles on host and
 assembling numpy outputs — device memory stays bounded by the tile, and every
 tile runs the identical XLA program.
+
+Multi-chip: the reference wraps the model in torch.nn.DataParallel at test
+time too (/root/reference/src/Tester01.py:42), scattering each chunk's rays
+over its 2 GPUs. The TPU equivalent here: pass `mesh` and each tile's ray
+axis is sharded over the mesh devices (params replicated) — full-image
+rendering is embarrassingly parallel over rays, so XLA partitions the tile
+program with zero collectives beyond the output gather.
 
 Only user-facing output keys are fetched to host (the reference instead
 deletes ~50 intermediate keys after the fact, Trainer01.py:197-221).
@@ -17,6 +24,9 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from vipnerf_tpu.parallel.mesh import RAY_AXIS
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Keys worth returning to host from a tile render (superset; missing ones are
 # skipped). Everything else (raw_*, weights, alpha, z_vals) stays on device.
@@ -68,11 +78,43 @@ class TiledRenderer:
         configs: Dict[str, Any],
         params_example=None,
         loss_computer=None,
+        mesh: Optional[Mesh] = None,
     ):
+        """`mesh`: optional 1-D device mesh (parallel.mesh.make_mesh). When
+        given with >1 device, every tile's ray axis is sharded across the
+        mesh and parameters are replicated — the DataParallel-at-test-time
+        equivalent (reference Tester01.py:42)."""
         self.render_fn = render_fn
         self.configs = configs
         self.loss_computer = loss_computer
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self._jitted: Dict[Tuple, Callable] = {}
+
+    # ------------------------------------------------------------- sharding
+
+    def _shard_tile_batch(self, tiled_batch, const_batch, params):
+        """Place (n_tiles, tile, ...) ray fields sharded over the in-tile ray
+        axis; params and per-frame constants replicated. jit propagates the
+        shardings through the tile program."""
+        mesh = self.mesh
+        shard = lambda ndim, axis: NamedSharding(  # noqa: E731
+            mesh, P(*[RAY_AXIS if i == axis else None for i in range(ndim)])
+        )
+        repl = NamedSharding(mesh, P())
+        tiled_batch = {
+            k: jax.device_put(v, shard(v.ndim, 1))
+            for k, v in tiled_batch.items()
+        }
+        const_batch = {
+            k: jax.device_put(v, repl) if hasattr(v, "shape") else v
+            for k, v in const_batch.items()
+        }
+        params = jax.device_put(params, repl)
+        return tiled_batch, const_batch, params
+
+    def _tile_multiple(self) -> int:
+        """Tiles must divide evenly across mesh devices."""
+        return self.mesh.size if self.mesh is not None else 1
 
     def _get_tile_fn(
         self, sec_views_vis: bool, retraw: bool, with_losses: bool,
@@ -141,7 +183,9 @@ class TiledRenderer:
         full round trip on remote-tunnel backends).
         """
         nr = int(batch["rays_o"].shape[0])
+        mult = self._tile_multiple()
         tile = min(chunk_size, nr)
+        tile = max(mult, (tile // mult) * mult)  # divisible across the mesh
         if single_dispatch is None:
             single_dispatch = not with_losses
         if single_dispatch and not with_losses:
@@ -154,11 +198,30 @@ class TiledRenderer:
             tuple(keep) if keep is not None else None, uint8_rgb,
         )
 
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            ray_shard = NamedSharding(self.mesh, P(RAY_AXIS))
+            params = jax.device_put(params, repl)
+
         # Dispatch all tiles asynchronously, fetch once at the end: a
         # synchronous per-tile device_get serializes compute with (slow)
         # device->host transfers and kills pipelining.
         tile_results: List[Any] = []
         for tile_batch in _split_batch(batch, nr, tile):
+            if self.mesh is not None:
+                tile_batch = {
+                    k: jax.device_put(
+                        v,
+                        ray_shard
+                        if hasattr(v, "shape")
+                        and v.ndim >= 1
+                        and v.shape[0] == tile
+                        else repl,
+                    )
+                    if hasattr(v, "shape")
+                    else v
+                    for k, v in tile_batch.items()
+                }
             tile_results.append(fn(params, tile_batch))
         tile_results = jax.device_get(tile_results)
 
@@ -242,6 +305,10 @@ class TiledRenderer:
                 tiled_batch[k] = v.reshape((num_tiles, tile) + v.shape[1:])
             else:
                 const_batch[k] = v
+        if self.mesh is not None:
+            tiled_batch, const_batch, params = self._shard_tile_batch(
+                tiled_batch, const_batch, params
+            )
         stacked = jax.device_get(fn(params, tiled_batch, const_batch))
         return {
             k: np.asarray(v).reshape((padded,) + v.shape[2:])[:nr]

@@ -52,7 +52,21 @@ class NerfTester:
         import jax
 
         self.params = init_fn(jax.random.PRNGKey(0), train_configs)
-        self.renderer = TiledRenderer(self.render_fn, train_configs)
+        # Multi-chip inference: the reference DataParallel-wraps the model at
+        # test time too (src/Tester01.py:42, device list from configs). Here
+        # `test_configs['device']` selects mesh devices ("all"/None = every
+        # local device, or an explicit index list); with >1 device each
+        # render tile's rays shard across the mesh.
+        mesh = None
+        device_sel = test_configs.get("device", "all")
+        devices = jax.devices()
+        if isinstance(device_sel, (list, tuple)):
+            devices = [devices[i] for i in device_sel]
+        if len(devices) > 1:
+            from vipnerf_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(devices)
+        self.renderer = TiledRenderer(self.render_fn, train_configs, mesh=mesh)
         # Measured render optimum on v5e: small tiles pipeline better after
         # the gather-free sample_pdf rewrite (BASELINE.md round-2 notes).
         self.chunk_size = test_configs.get("chunk_size", 8192)

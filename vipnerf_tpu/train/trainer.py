@@ -92,8 +92,11 @@ class Trainer:
         else:
             self.scan_train = make_scan_train_nosd(configs, gather, train_step)
 
+        # Validation renders shard each tile's rays over the same mesh the
+        # train step uses (reference DataParallel covers validation too).
         self.renderer = TiledRenderer(
-            self.render_fn, configs, loss_computer=loss_computer
+            self.render_fn, configs, loss_computer=loss_computer,
+            mesh=self.mesh if self.multi_device else None,
         )
         self.logger = ScalarLogger(self.output_dirpath / "logs")
         self.base_key = jax.random.PRNGKey(configs.get("seed", 0) or 0)
