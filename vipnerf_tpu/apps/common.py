@@ -51,9 +51,19 @@ class DatasetApp:
 
     # --------------------------------------------------------------- training
     def start_training(self, train_configs: Dict[str, Any]):
+        """Sequential per-scene training (reference Trainer01.start_training,
+        src/Trainer01.py:491-533), or — with `batch_scenes: true` in the
+        config — TPU-first multi-scene lockstep training: one NeRF per mesh
+        device, all scenes of the train set simultaneously
+        (train.multi_scene.MultiSceneTrainer; no reference equivalent)."""
         train_configs = dict(train_configs)
         train_configs["root_dirpath"] = str(self.root_dirpath)
-        trainer_mod.start_training(train_configs)
+        if train_configs.get("batch_scenes"):
+            from vipnerf_tpu.train.multi_scene import start_training_batched
+
+            start_training_batched(train_configs)
+        else:
+            trainer_mod.start_training(train_configs)
 
     # ---------------------------------------------------------------- testing
     def build_scenes_data(

@@ -147,25 +147,57 @@ class MultiSceneTrainer:
         # per-scene row of the stacked cache (same fields, masks, -1 fills,
         # NDC / mip / dense-depth handling as the sequential trainer).
         prep0 = self.preprocessors[0]
+        with_sd = self.with_sd
 
-        def scene_step(params, opt_state, cache, near, far, nerf_i, sd_i,
-                       iter_num, key):
-            batch = prep0.gather_batch(
-                nerf_i, sd_i, iter_num, cache=cache, near=near, far=far
+        # Scanned K-step chunks, exactly like the sequential trainer
+        # (train.step.make_scan_train): ONE host dispatch per K iterations
+        # per chunk — host dispatch costs milliseconds on remote-tunnel
+        # backends (measured up to ~30 ms/step, BASELINE.md), so the
+        # per-iteration dispatch this trainer used before round 3
+        # contradicted the repo's own findings. vmap(scenes) o scan(K steps);
+        # RNG per scene/iter matches the old per-step path bit-for-bit
+        # (fold_in(fold_in(base_key, scene_i), iter_num)).
+        def scene_chunk(params, opt_state, cache, near, far, nerf_k, sd_k,
+                        start_iter, scene_key):
+            def body(carry, xs):
+                p, o = carry
+                if with_sd:
+                    step_i, nerf_i, sd_i = xs
+                else:
+                    step_i, nerf_i = xs
+                    sd_i = None
+                iter_num = start_iter + step_i
+                batch = prep0.gather_batch(
+                    nerf_i, sd_i, iter_num, cache=cache, near=near, far=far
+                )
+                key = jax.random.fold_in(scene_key, iter_num)
+                p, o, scalars = train_step(p, o, batch, key)
+                return (p, o), scalars
+
+            k = nerf_k.shape[0]
+            xs = (
+                (jnp.arange(k), nerf_k, sd_k)
+                if with_sd
+                else (jnp.arange(k), nerf_k)
             )
-            return train_step(params, opt_state, batch, key)
+            (params, opt_state), scalars = jax.lax.scan(
+                body, (params, opt_state), xs
+            )
+            return params, opt_state, scalars
 
-        in_axes = (0, 0, 0, 0, 0, 0, 0 if self.with_sd else None, None, 0)
+        in_axes = (0, 0, 0, 0, 0, 0, 0 if with_sd else None, None, 0)
 
-        def stepped(params, opt_state, cache, near, far, nerf_idx, sd_idx,
-                    iter_num, keys):
-            return jax.vmap(scene_step, in_axes=in_axes)(
+        def chunked(params, opt_state, cache, near, far, nerf_idx, sd_idx,
+                    start_iter, keys):
+            return jax.vmap(scene_chunk, in_axes=in_axes)(
                 params, opt_state, cache, near, far, nerf_idx, sd_idx,
-                iter_num, keys,
+                start_iter, keys,
             )
 
-        self._step = jax.jit(stepped, donate_argnums=(0, 1))
+        self._step = jax.jit(chunked, donate_argnums=(0, 1))
         self.base_key = jax.random.PRNGKey(seed)
+        # chunk length (iterations per dispatch), sequential-trainer default
+        self.scan_steps = int(configs.get("scan_steps", 100))
         self.scene_sharded = scene_sharded
         self._loggers: Optional[List[ScalarLogger]] = None
         self._renderer = None
@@ -241,22 +273,39 @@ class MultiSceneTrainer:
         per scene. Returns per-scene final loss scalars."""
         s = len(self.scene_ids)
         can_persist = self.output_dirpath is not None
-        validation_interval = validation_interval or self.configs.get(
-            "validation_interval"
-        )
-        model_save_interval = model_save_interval or self.configs.get(
-            "model_save_interval"
-        )
+        # `is None` (not `or`) so an explicit 0 disables the interval
+        # instead of silently falling back to the config value.
+        if validation_interval is None:
+            validation_interval = self.configs.get("validation_interval")
+        if model_save_interval is None:
+            model_save_interval = self.configs.get("model_save_interval")
         loggers = self._get_loggers() if (log_scalars and can_persist) else None
 
         start_iter = self.load_checkpoints() if can_persist else 0
+        # per-scene keys are chunk-invariant: fold_in(base_key, scene_i)
+        scene_keys = jax.vmap(
+            lambda i: jax.random.fold_in(self.base_key, i)
+        )(jnp.arange(s))
+        precrop_end = self.configs["data_loader"].get("precrop_iterations", -1)
+
         scalars = None
-        for it in range(start_iter, num_iterations):
+        it = start_iter
+        while it < num_iterations:
+            # Align chunk boundaries to every host-observable event, like
+            # the sequential trainer (train.trainer.Trainer.train).
+            boundaries = [num_iterations]
+            for interval in (validation_interval, model_save_interval):
+                if interval:
+                    boundaries.append(((it // interval) + 1) * interval)
+            if it < precrop_end:
+                boundaries.append(precrop_end)
+            k = min(min(boundaries) - it, self.scan_steps)
+
             nerf_rows, sd_rows = [], []
             for p in self.preprocessors:
-                n, d = p.get_index_chunk(it, 1)
-                nerf_rows.append(n[0])
-                sd_rows.append(d[0] if d is not None else None)
+                n, d = p.get_index_chunk(it, k)
+                nerf_rows.append(n)
+                sd_rows.append(d)
             nerf_idx = jax.device_put(
                 np.stack(nerf_rows).astype(np.int32), self.scene_sharded
             )
@@ -267,9 +316,6 @@ class MultiSceneTrainer:
                 if self.with_sd
                 else None
             )
-            keys = jax.vmap(
-                lambda i: jax.random.fold_in(jax.random.fold_in(self.base_key, i), it)
-            )(jnp.arange(s))
             with self.mesh:
                 self.params, self.opt_state, scalars = self._step(
                     self.params,
@@ -280,34 +326,34 @@ class MultiSceneTrainer:
                     nerf_idx,
                     sd_idx,
                     it,
-                    keys,
+                    scene_keys,
                 )
-            step = it + 1
             if loggers is not None:
-                host_scalars = jax.device_get(scalars)
-                lr = float(self.lr_schedule(it))
-                for i, logger in enumerate(loggers):
-                    for name, vals in host_scalars.items():
-                        logger.add_scalar(
-                            f"train/{name}", float(vals[i]), step
-                        )
-                    logger.add_scalar("train/lr", lr, step)
-            if (
-                can_persist
-                and validation_interval
-                and step % validation_interval == 0
-            ):
-                self.run_validation(it)
-            if (
-                can_persist
-                and model_save_interval
-                and step % model_save_interval == 0
-            ):
-                self.save_checkpoints(self.output_dirpath, step)
+                host_scalars = jax.device_get(scalars)  # (S, K) per name
+                for j in range(k):
+                    step_j = it + j + 1
+                    lr = float(self.lr_schedule(it + j))
+                    for i, logger in enumerate(loggers):
+                        for name, vals in host_scalars.items():
+                            logger.add_scalar(
+                                f"train/{name}", float(vals[i][j]), step_j
+                            )
+                        logger.add_scalar("train/lr", lr, step_j)
+            it += k
+            if can_persist and validation_interval and it % validation_interval == 0:
+                self.run_validation(it - 1)
+            if can_persist and model_save_interval and it % model_save_interval == 0:
+                self.save_checkpoints(self.output_dirpath, it)
         if loggers is not None:
             for logger in loggers:
                 logger.flush()
-        return jax.device_get(scalars)
+        if scalars is None:
+            return None
+        # return the final step's per-scene scalars (old contract: (S,) rows)
+        return {
+            name: vals[:, -1]
+            for name, vals in jax.device_get(scalars).items()
+        }
 
     # ------------------------------------------------------------- validation
 
