@@ -261,10 +261,11 @@ def main():
         file=sys.stderr,
     )
     print(
-        "# step breakdown (K-fold isolation, BASELINE.md round-2): "
-        "MLP fwd+bwd ~53ms (fwd 14.7ms ~45% MXU, bwd ~38ms); "
-        "sampling+compositing+losses+adam ~3ms "
-        "(sample_pdf was 35ms before the gather-free rewrite)",
+        "# step breakdown (K-fold isolation, BASELINE.md round-3): "
+        "MLP fwd 14.0ms / fwd+bwd 46.3ms (HBM-roofline-bound: intensity "
+        "N/2=128 FLOP/B vs chip ~400-500; padding K dims + remat policies "
+        "measured no-ops; fused Pallas retired, see experiments/); "
+        "render+losses non-MLP ~5.4ms; gather 0.2ms; adam+scan ~4ms",
         file=sys.stderr,
     )
 

@@ -1,4 +1,12 @@
-"""Parity tests: Pallas fused MLP (interpret mode) vs the XLA apply_mlp."""
+"""Parity tests: Pallas fused MLP (interpret mode) vs the XLA apply_mlp.
+
+The kernel was retired from the production tree round 3 (see
+experiments/README.md for the measured rationale); these tests keep its
+numerics claims verifiable.
+"""
+
+import sys
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -7,7 +15,9 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from vipnerf_tpu.models.mlp import apply_mlp, init_mlp_params
-from vipnerf_tpu.ops import fused_mlp as fm
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "experiments"))
+import fused_mlp as fm  # noqa: E402
 
 CFG = {
     "num_samples": 0,

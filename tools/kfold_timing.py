@@ -22,7 +22,9 @@ import jax.numpy as jnp
 
 
 def _global_norm(tree) -> jnp.ndarray:
-    leaves = jax.tree_util.tree_leaves(tree)
+    leaves = [
+        x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "astype")
+    ]
     return jnp.sqrt(
         sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves)
     )
@@ -49,8 +51,39 @@ def kfold_time(
             def body(_, carry):
                 s, args = carry
                 leaves, treedef = jax.tree_util.tree_flatten(args)
-                # data dependency: scale the first leaf by (1 + 0*s)
-                leaves = [leaves[0] * (1.0 + 0.0 * s)] + leaves[1:]
+                # data dependency: scale the first leaf by (1 + eps*s).
+                # eps must be NONZERO: with 0*s XLA constant-folds the
+                # perturbation and loop-invariant code motion hoists the
+                # whole computation out of the fori_loop (observed: a 68
+                # GFLOP matmul "measured" at 930 TFLOPS). 1e-30*s underflows
+                # numerically (s ~ O(1..1e6), eps*s << f32 ulp of 1.0) so
+                # results are bitwise unchanged, but XLA cannot prove it.
+                eps = jnp.float32(1e-30)
+                # perturb the first FLOAT array leaf (skip ints/python scalars)
+                idx = next(
+                    (
+                        i
+                        for i, leaf in enumerate(leaves)
+                        if hasattr(leaf, "dtype")
+                        and jnp.issubdtype(leaf.dtype, jnp.floating)
+                    ),
+                    None,
+                )
+                leaves = list(leaves)
+                if idx is not None:
+                    leaves[idx] = leaves[idx] * (1.0 + eps * s).astype(
+                        leaves[idx].dtype
+                    )
+                else:
+                    # int-only args: add min(int(s), 0) == 0 at runtime (s is
+                    # a norm, >= 0) but not provably zero to the compiler.
+                    idx = next(
+                        i for i, leaf in enumerate(leaves)
+                        if hasattr(leaf, "dtype")
+                    )
+                    leaves[idx] = leaves[idx] + jnp.minimum(
+                        s.astype(leaves[idx].dtype), 0
+                    )
                 out = fn(*jax.tree_util.tree_unflatten(treedef, leaves))
                 return (s + _global_norm(out), args)
 

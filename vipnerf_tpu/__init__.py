@@ -14,7 +14,9 @@ This is a ground-up redesign for TPU hardware, not a port:
 - Multi-chip scaling (:mod:`vipnerf_tpu.parallel`) shards the ray axis over a
   `jax.sharding.Mesh`; parameters are replicated (the MLP is ~1.2M params) and
   gradients reduce over ICI via XLA-inserted psums.
-- Hot kernels (:mod:`vipnerf_tpu.ops`) have Pallas implementations.
+- Hot ops are XLA-first; Pallas alternatives live in experiments/ with
+  the measurements that retired them (the XLA path is HBM-roofline-bound
+  and the fused kernels measured slower).
 
 Reference parity citations in docstrings use paths relative to
 /root/reference/.

@@ -10,7 +10,7 @@ blocks, i.e. the output layout is
 with each block spanning the full input dimensionality.
 
 TPU notes: this is pure VPU work; XLA fuses it into the consumer matmul's
-producer. The fused Pallas MLP kernel (vipnerf_tpu.ops.fused_mlp) re-derives
+producer. The retired fused Pallas MLP kernel (experiments/fused_mlp.py) re-derives
 the same layout in-kernel so the encoded features never round-trip to HBM.
 """
 

@@ -108,13 +108,18 @@ def _run_mlp_on_samples(
     bf16_matmuls: bool,
     remat: bool,
     netchunk_map: int = 0,
-    use_fused_kernel: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Flatten (nr, ns, ...) sample tensors, run the MLP, reshape back
     (reference run_network :264-293; the host netchunk loop becomes an
-    optional on-device lax.map). With use_fused_kernel (and a supported
-    config), the MLP runs as the Pallas fused kernel (ops/fused_mlp.py) —
-    no chunking needed, activations never leave VMEM."""
+    optional on-device lax.map).
+
+    A fused Pallas MLP was evaluated and RETIRED after exhaustive
+    measurement (round 3): the XLA path here is at its HBM roofline
+    (~14 ms fwd for the 1.05M-point bench workload) and the Pallas
+    alternative measures slower (23.7 ms) because the per-matmul dependency
+    floor (~1.5 us) plus out-of-kernel positional encodings eat the
+    activation-traffic savings. Full analysis + the kernel live in
+    experiments/fused_mlp.py."""
     nr, ns = pts.shape[0], pts.shape[1]
     pts_flat = pts.reshape(nr * ns, 3)
     vd_flat = None
@@ -126,24 +131,6 @@ def _run_mlp_on_samples(
     if view_dirs2 is not None:
         nf_m1 = view_dirs2.shape[2]
         vd2_flat = view_dirs2.reshape(nr * ns, nf_m1, 3)
-
-    if use_fused_kernel:
-        from vipnerf_tpu.ops import fused_mlp as _fm
-
-        if _fm.supports_config(mlp_cfg):
-            raw = _fm.apply_fused_mlp(
-                mlp_params,
-                mlp_cfg,
-                pts_flat,
-                vd_flat,
-                vd2_flat,
-                raw_noise_std=raw_noise_std,
-                noise_key=noise_key,
-                dtype=jnp.bfloat16 if bf16_matmuls else jnp.float32,
-            )
-            return {
-                k: v.reshape((nr, ns) + v.shape[1:]) for k, v in raw.items()
-            }
 
     def fwd(p, pf, vf, v2f):
         return apply_mlp(
@@ -255,7 +242,6 @@ def render_rays(
         netchunk_map = mcfg.get("netchunk_map", 0)
     else:
         netchunk_map = mcfg.get("netchunk_map_infer", 0)
-    use_fused_kernel = mcfg.get("use_fused_kernel", False)
     white_bkgd = mcfg["white_bkgd"]
 
     rays_o = batch["rays_o"]
@@ -312,7 +298,6 @@ def render_rays(
             bf16=bf16,
             remat=remat,
             netchunk_map=netchunk_map,
-            use_fused_kernel=use_fused_kernel,
         )
         weights_coarse = out_c["weights"]
         out["z_vals_coarse"] = z_coarse
@@ -348,7 +333,6 @@ def render_rays(
             bf16=bf16,
             remat=remat,
             netchunk_map=netchunk_map,
-            use_fused_kernel=use_fused_kernel,
         )
         out["z_vals_fine"] = z_fine
         for k, v in out_f.items():
@@ -384,7 +368,6 @@ def _render_one_level(
     bf16: bool,
     remat: bool,
     netchunk_map: int = 0,
-    use_fused_kernel: bool = False,
 ):
     """One MLP evaluation + compositing pass (coarse or fine)."""
     # Sample points in the sampling space (NDC coords in NDC mode, :104-107)
@@ -405,7 +388,6 @@ def _render_one_level(
         bf16_matmuls=bf16,
         remat=remat,
         netchunk_map=netchunk_map,
-        use_fused_kernel=use_fused_kernel,
     )
 
     if not ndc:

@@ -138,17 +138,31 @@ class Trainer:
             self.params = jax.device_put(self.params, rep)
             self.opt_state = jax.device_put(self.opt_state, rep)
 
-        it = start_iter
-        t_start = time.time()
-        rays_done = 0
-        while it < total_num_iters:
+        def next_k(it: int) -> int:
             # Align scan chunks to every host-observable boundary.
             boundaries = [total_num_iters]
             for interval in (validation_interval, model_save_interval):
                 boundaries.append(((it // interval) + 1) * interval)
             if it < precrop_end:
                 boundaries.append(precrop_end)
-            k = min(min(boundaries) - it, self.scan_steps)
+            return min(min(boundaries) - it, self.scan_steps)
+
+        def fetch_chunk(it: int, k: int):
+            nerf_idx, sd_idx = self.train_data_preprocessor.get_index_chunk(
+                it, k
+            )
+            placed_sd = (
+                self._place_indices(sd_idx) if sd_idx is not None else None
+            )
+            return self._place_indices(nerf_idx), placed_sd, nerf_idx, sd_idx
+
+        it = start_iter
+        t_start = time.time()
+        rays_done = 0
+        k = next_k(it) if it < total_num_iters else 0
+        pending = fetch_chunk(it, k) if k else None
+        while it < total_num_iters:
+            nerf_dev, sd_dev, nerf_idx, sd_idx = pending
 
             profiling = (
                 self.profiler_cfg is not None
@@ -161,24 +175,21 @@ class Trainer:
                 _prof.start_trace(
                     (self.output_dirpath / "logs/profile").as_posix()
                 )
-            nerf_idx, sd_idx = self.train_data_preprocessor.get_index_chunk(it, k)
-            if sd_idx is not None:
+            if sd_dev is not None:
                 self.params, self.opt_state, scalars = self.scan_train(
-                    self.params,
-                    self.opt_state,
-                    self.base_key,
-                    it,
-                    self._place_indices(nerf_idx),
-                    self._place_indices(sd_idx),
+                    self.params, self.opt_state, self.base_key, it,
+                    nerf_dev, sd_dev,
                 )
             else:
                 self.params, self.opt_state, scalars = self.scan_train(
-                    self.params,
-                    self.opt_state,
-                    self.base_key,
-                    it,
-                    self._place_indices(nerf_idx),
+                    self.params, self.opt_state, self.base_key, it, nerf_dev,
                 )
+            # Prefetch the NEXT chunk's index block while this chunk computes:
+            # the host->device upload (~1 ms/step worth on the tunneled
+            # backend) rides under the scan instead of serializing after it.
+            it_next = it + k
+            k_next = next_k(it_next) if it_next < total_num_iters else 0
+            pending_next = fetch_chunk(it_next, k_next) if k_next else None
             scalars = jax.device_get(scalars)
             if profiling:
                 import jax.profiler as _prof
@@ -196,7 +207,7 @@ class Trainer:
                 self.logger.add_scalar(
                     "train/lr", float(self.lr_schedule(it + j)), step
                 )
-            it += k
+            it, k, pending = it_next, k_next, pending_next
 
             if self.verbose_log:
                 elapsed = time.time() - t_start
