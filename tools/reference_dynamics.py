@@ -1,10 +1,17 @@
 """Train the REFERENCE torch implementation (CPU, /root/reference read-only)
-on the synthetic scene at the e2e-test scale, to compare training DYNAMICS
-with the TPU framework — beyond the forward golden-parity test
-(tests/test_reference_parity.py), this checks that loss trajectories under
-optimization match.
+on the synthetic scene, to compare training DYNAMICS with the TPU framework
+— beyond the forward golden-parity test (tests/test_reference_parity.py),
+this checks that loss trajectories under optimization match.
 
-Usage:  python tools/reference_dynamics.py [iters] [raw_noise_std]
+Usage:
+  python tools/reference_dynamics.py [iters] [raw_noise_std]        # small
+  python tools/reference_dynamics.py 2500 1.0 --full_size \
+      --num_rays 128 --sd_rays 128 --height 96 --width 128 --lr 5e-4
+
+--full_size runs the flagship 8x256 MLPs (PE 10/4, 64+192 samples) into the
+dead-sigma regime (BASELINE.md: our framework collapses ~iter 1.1k at noise
+1.0) to measure whether the reference shares the attractor — single-core
+torch needs ~5 s/step at 128+128 rays, so expect hours.
 Writes per-iteration scalars to /tmp/ref_scalars.jsonl; compare against the
 scalars.jsonl a matching vipnerf_tpu run produces.
 
@@ -76,6 +83,23 @@ class _FakeWriter:
 tb_mod.SummaryWriter = _FakeWriter
 sys.modules["torch.utils.tensorboard"] = tb_mod
 
+# ---------------- args ----------------
+import argparse
+
+ap = argparse.ArgumentParser()
+ap.add_argument("iters", nargs="?", type=int, default=1200)
+ap.add_argument("noise", nargs="?", type=float, default=0.0)
+ap.add_argument("--full_size", action="store_true",
+                help="flagship 8x256 MLPs, PE 10/4, 64+192 samples")
+ap.add_argument("--num_rays", type=int, default=None)
+ap.add_argument("--sd_rays", type=int, default=None)
+ap.add_argument("--height", type=int, default=32)
+ap.add_argument("--width", type=int, default=40)
+ap.add_argument("--lr", type=float, default=None)
+ap.add_argument("--torch_threads", type=int, default=1,
+                help="cap torch threads (the host has 1 core)")
+args = ap.parse_args()
+
 # ---------------- build synthetic database ----------------
 sys.path.insert(0, "/root/repo")
 from vipnerf_tpu.data.synthetic import write_synthetic_database
@@ -84,13 +108,14 @@ root = Path(tempfile.mkdtemp(prefix="ref_dyn_"))
 db_root = root / "data/databases"
 write_synthetic_database(db_root, scene_name="synth01", num_frames=6,
                          train_frames=(0, 5), val_frames=(2,),
-                         height=32, width=40)
+                         height=args.height, width=args.width)
 
 # reference resolves paths relative to its own file locations: it uses
 # this_filepath.parent.parent.parent / 'data' ... check Trainer01 start_training
 sys.path.insert(0, "/root/reference/src")
 import torch
 torch.manual_seed(0)
+torch.set_num_threads(args.torch_threads)
 
 
 class _FakeDataParallel(torch.nn.Module):
@@ -109,8 +134,29 @@ class _FakeDataParallel(torch.nn.Module):
 
 torch.nn.DataParallel = _FakeDataParallel
 
-num_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
-noise = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
+num_iters = args.iters
+noise = args.noise
+
+if args.full_size:
+    mlp_kwargs = dict(
+        netdepth=8, netwidth=256,
+        points_positional_encoding_degree=10,
+        views_positional_encoding_degree=4,
+    )
+    coarse_samples, fine_samples = 64, 128
+    num_rays = args.num_rays or 128
+    sd_rays = args.sd_rays or 128
+    lr = args.lr or 5e-4
+else:
+    mlp_kwargs = dict(
+        netdepth=6, netwidth=32,
+        points_positional_encoding_degree=4,
+        views_positional_encoding_degree=2,
+    )
+    coarse_samples, fine_samples = 16, 32
+    num_rays = args.num_rays or 256
+    sd_rays = args.sd_rays or 128
+    lr = args.lr or 2e-3
 
 train_configs = {
     "trainer": "ref_dynamics",
@@ -129,7 +175,7 @@ train_configs = {
         "ndc": False,
         "batching": True,
         "downsampling_factor": 1,
-        "num_rays": 256,
+        "num_rays": num_rays,
         "precrop_fraction": 1,
         "precrop_iterations": -1,
         "visibility_prior": {
@@ -137,24 +183,22 @@ train_configs = {
             "load_weights": False,
             "masks_dirname": "VW02",
         },
-        "sparse_depth": {"dirname": "DE02", "num_rays": 128},
+        "sparse_depth": {"dirname": "DE02", "num_rays": sd_rays},
         "scene_ids": ["synth01"],
     },
     "model": {
         "name": "VipNeRF01",
         "coarse_mlp": {
-            "num_samples": 16, "netdepth": 6, "netwidth": 32,
-            "points_positional_encoding_degree": 4,
-            "views_positional_encoding_degree": 2,
+            "num_samples": coarse_samples,
             "use_view_dirs": True, "view_dependent_rgb": True,
             "predict_visibility": True,
+            **mlp_kwargs,
         },
         "fine_mlp": {
-            "num_samples": 32, "netdepth": 6, "netwidth": 32,
-            "points_positional_encoding_degree": 4,
-            "views_positional_encoding_degree": 2,
+            "num_samples": fine_samples,
             "use_view_dirs": True, "view_dependent_rgb": True,
             "predict_visibility": True,
+            **mlp_kwargs,
         },
         "chunk": 4096, "lindisp": False, "netchunk": 16384,
         "perturb": True, "raw_noise_std": noise, "white_bkgd": False,
@@ -167,7 +211,7 @@ train_configs = {
     ],
     "optimizer": {
         "lr_decayer_name": "NeRFLearningRateDecayer01",
-        "lr_initial": 2e-3, "lr_decay": 250, "beta1": 0.9, "beta2": 0.999,
+        "lr_initial": lr, "lr_decay": 250, "beta1": 0.9, "beta2": 0.999,
     },
     "resume_training": False,
     "num_iterations": num_iters,

@@ -32,7 +32,9 @@ import numpy as np
 
 
 def full_size_configs(root: Path, num_iterations: int, raw_noise_std: float,
-                      ndc: bool = False):
+                      ndc: bool = False, num_rays: int = 2048,
+                      sd_rays: int = 2048, lr: float = 5e-4,
+                      vp_start: int = 30000):
     mlp = {
         "num_samples": 64,
         "netdepth": 8,
@@ -62,7 +64,7 @@ def full_size_configs(root: Path, num_iterations: int, raw_noise_std: float,
             "spherify": False,
             "ndc": ndc,
             "batching": True,
-            "num_rays": 2048,
+            "num_rays": num_rays,
             "precrop_fraction": 1,
             "precrop_iterations": -1,
             "visibility_prior": {
@@ -70,7 +72,7 @@ def full_size_configs(root: Path, num_iterations: int, raw_noise_std: float,
                 "load_weights": False,
                 "masks_dirname": "VW02",
             },
-            "sparse_depth": {"dirname": "DE02", "num_rays": 2048},
+            "sparse_depth": {"dirname": "DE02", "num_rays": sd_rays},
             "downsampling_factor": 1,
         },
         "model": {
@@ -92,11 +94,11 @@ def full_size_configs(root: Path, num_iterations: int, raw_noise_std: float,
             {"name": "VisibilityLoss01", "weight": 0.1},
             {"name": "SparseDepthMSE01", "weight": 0.1},
             {"name": "VisibilityPriorLoss01",
-             "iter_weights": {"0": 0, "30000": 0.001}},
+             "iter_weights": {"0": 0, str(vp_start): 0.001}},
         ],
         "optimizer": {
             "lr_decayer_name": "NeRFLearningRateDecayer01",
-            "lr_initial": 5e-4,
+            "lr_initial": lr,
             "lr_decay": 250,
             "beta1": 0.9,
             "beta2": 0.999,
@@ -125,6 +127,11 @@ def main():
     parser.add_argument("--ndc", action="store_true")
     parser.add_argument("--test_frames", type=int, default=3)
     parser.add_argument("--root", default=None)
+    parser.add_argument("--num_rays", type=int, default=2048)
+    parser.add_argument("--sd_rays", type=int, default=2048)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--vp_start", type=int, default=30000,
+                        help="visibility-prior activation iteration")
     args = parser.parse_args()
 
     from vipnerf_tpu.data.synthetic import write_synthetic_database
@@ -144,7 +151,9 @@ def main():
         width=args.width,
     )
     configs = full_size_configs(root, args.iters, args.raw_noise_std,
-                                ndc=args.ndc)
+                                ndc=args.ndc, num_rays=args.num_rays,
+                                sd_rays=args.sd_rays, lr=args.lr,
+                                vp_start=args.vp_start)
     if args.grad_clip_norm:
         configs["optimizer"]["grad_clip_norm"] = args.grad_clip_norm
     for loss in configs["losses"]:
