@@ -47,6 +47,61 @@ class TestPositionalEncoding:
         )
 
 
+class TestSpherify:
+    def test_spherify_ring_rig(self):
+        # Inward-looking ring rig (the 360-capture case spherify exists for,
+        # reference DataPreprocessor01.py:1001-1057). Unused by shipped
+        # configs but part of the API surface.
+        n, radius = 8, 4.0
+        mats = []
+        for th in np.linspace(0, 2 * np.pi, n, endpoint=False):
+            eye = np.array([radius * np.cos(th), radius * np.sin(th), 0.7])
+            z = eye / np.linalg.norm(eye)  # central ray toward the origin
+            x = np.cross([0.0, 0.0, 1.0], z)
+            x = x / np.linalg.norm(x)
+            y = np.cross(z, x)
+            hwf = np.array([48.0, 64.0, 50.0])
+            mats.append(
+                np.concatenate(
+                    [np.stack([x, y, -z], 1), eye[:, None], hwf[:, None]], 1
+                )
+            )
+        c2w = np.stack(mats)  # (n, 3, 5)
+        bds = np.array([2.0, 8.0])
+
+        poses_reset, render_poses, new_bds = poses.spherify_poses(c2w, bds)
+
+        # shapes preserve the 5-column layout; 120 render poses
+        assert poses_reset.shape == (n, 3, 5)
+        assert render_poses.shape == (120, 3, 5)
+        # radius normalization: RMS camera distance is exactly 1
+        rms = np.sqrt(np.mean(np.sum(poses_reset[:, :3, 3] ** 2, -1)))
+        np.testing.assert_allclose(rms, 1.0, rtol=1e-6)
+        # bounds scale by the same factor as the cameras
+        orig_rms = np.sqrt(np.mean(np.sum(c2w[:, :3, 3] ** 2, -1)))
+        np.testing.assert_allclose(new_bds, bds / orig_rms, rtol=1e-2)
+        # render path lies on a circle of constant height and radius
+        origins = render_poses[:, :3, 3]
+        np.testing.assert_allclose(
+            origins[:, 2], origins[0, 2], atol=1e-8
+        )
+        r2d = np.linalg.norm(origins[:, :2], axis=1)
+        np.testing.assert_allclose(r2d, r2d[0], rtol=1e-6)
+        # hwf column carried through from the input
+        np.testing.assert_allclose(
+            render_poses[:, :, 4], np.tile(c2w[0, :, 4], (120, 1))
+        )
+        # render cameras look inward: viewing dir (-z col of c2w) points
+        # from the origin toward... the camera z-axis equals the normalized
+        # camera origin (reference construction), i.e. cameras face the
+        # center through their -z
+        np.testing.assert_allclose(
+            render_poses[:, :3, 2],
+            origins / np.linalg.norm(origins, axis=1, keepdims=True),
+            atol=1e-6,
+        )
+
+
 class TestRays:
     def test_principal_ray_looks_down_minus_z(self):
         intrinsic = jnp.asarray(
