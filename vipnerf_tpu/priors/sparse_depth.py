@@ -266,3 +266,9 @@ def start_generation(gen_configs: Dict, root_dirpath: Optional[Path] = None):
             depth_data_list[i].to_csv(depth_path, index=False)
         bounds_path.parent.mkdir(parents=True, exist_ok=True)
         bounds_data.to_csv(bounds_path, index=False)
+
+
+if __name__ == "__main__":
+    from vipnerf_tpu.priors.cli import main_sparse_depth
+
+    main_sparse_depth()

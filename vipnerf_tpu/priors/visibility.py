@@ -251,3 +251,9 @@ def start_generation(gen_configs: Dict, root_dirpath: Optional[Path] = None):
                     save_image(mp.parent / f"{mp.stem}.png",
                                mask.astype(np.uint8) * 255)
                     save_numpy_array(wp, w_arr, as_png=True)
+
+
+if __name__ == "__main__":
+    from vipnerf_tpu.priors.cli import main_visibility
+
+    main_visibility()
