@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--width", type=int, default=1008)
     ap.add_argument("--noise", type=float, default=1.0)
     ap.add_argument("--train_num", type=int, default=11)
+    ap.add_argument("--val_interval", type=int, default=None,
+                    help="default: min(10000, iters)")
+    ap.add_argument("--save_interval", type=int, default=None)
     args = ap.parse_args()
 
     from vipnerf_tpu.apps.common import DatasetApp
@@ -84,9 +87,14 @@ def main():
         num_iterations=args.iters,
         resolution_suffix="_down4",
         bf16_matmuls=True,
+        validation_interval=args.val_interval or min(10000, args.iters),
+        model_save_interval=args.save_interval or min(10000, args.iters),
     )
     train_configs["model"]["remat"] = True
     train_configs["model"]["raw_noise_std"] = args.noise
+    # Restart-safe: with the checkpoint-before-validation ordering the run
+    # resumes from the last 10k boundary if interrupted.
+    train_configs["resume_training"] = True
 
     t1 = time.time()
     app.start_training(train_configs)

@@ -110,7 +110,10 @@ class DatasetApp:
                 if intrinsics is not None:
                     fd["intrinsic"] = intrinsics[frame_num]
                 frames_data[frame_num] = fd
-            scenes_data[scene_id] = {
+            # Keyed by the formatted scene id (the reference keys scenes_data
+            # by f'{scene_num:05}' for DTU/RealEstate, DtuTrainerTester01.py:
+            # 80-81), so the tester resolves the zero-padded train dir.
+            scenes_data[scene_dir] = {
                 "output_dirname": scene_dir,
                 "frames_data": frames_data,
             }
@@ -220,7 +223,7 @@ class DatasetApp:
                             "is_train_frame": False,
                         }
                 scenes_data = {
-                    scene_id: {
+                    scene_dir: {
                         "output_dirname": scene_dir,
                         "frames_data": frames_data,
                     }

@@ -116,6 +116,12 @@ def build_train_configs(
             # measured optimum on TPU v5e (see bench.py): bounds live
             # activation memory per on-device map iteration
             "netchunk_map": 16384,
+            # inference/validation point-chunk: REQUIRED on the axon TPU
+            # backend — an unchunked 64k-ray validation tile is a ~12.6M
+            # point fused MLP body, which hits the backend's pathological
+            # compile / Mosaic regalloc failure (round-1 finding; re-hit in
+            # the round-3 protocol run when this default was missing)
+            "netchunk_map_infer": 262144,
         },
         "losses": losses,
         "optimizer": {
@@ -129,7 +135,13 @@ def build_train_configs(
         "num_iterations": num_iterations,
         "scan_steps": scan_steps,
         "validation_interval": validation_interval,
-        "validation_chunk_size": 64 * 1024,
+        # reference default is 64k (Trainer01.py validation chunking); on the
+        # axon TPU backend smaller tiles BOTH render faster (measured: 8-16k
+        # tiles pipeline better post sample_pdf rewrite, see bench.py) AND
+        # keep each with-losses tile program small enough to dodge the
+        # backend's pathological-compile mode (a 64k-ray retraw+losses tile
+        # hung XLA compilation >40 min in the round-3 protocol run)
+        "validation_chunk_size": 16384,
         "validation_save_loss_maps": False,
         "model_save_interval": model_save_interval,
         "mixed_precision_training": bf16_matmuls,

@@ -218,18 +218,35 @@ class Trainer:
                     flush=True,
                 )
 
-            if it % validation_interval == 0:
-                val_losses = self.run_validation(
-                    it - 1, self.train_data_preprocessor, sample_images_dirpath
-                )
-                self.logger.add_scalars("validation/train_images", val_losses, it)
-                val_losses = self.run_validation(
-                    it - 1, self.val_data_preprocessor, sample_images_dirpath
-                )
-                self.logger.add_scalars("validation/val_images", val_losses, it)
-
-            if it % model_save_interval == 0:
+            # Checkpoint BEFORE validation (the reference validates first,
+            # Trainer01.py:301-311; same-boundary artifacts are identical on
+            # success, but saving first means a validation-render failure or
+            # backend hang can never lose a full save-interval of training).
+            # (Also at the final iteration even off-boundary: the reference
+            # only saves on boundaries, Trainer01.py:310-311, so a
+            # num_iterations not divisible by the interval silently trains a
+            # model it never saves; for divisible configs artifacts are
+            # identical.)
+            if it % model_save_interval == 0 or it == total_num_iters:
                 self.save_model(it, saved_models_dirpath)
+
+            if it % validation_interval == 0:
+                for tag, prep in (
+                    ("train_images", self.train_data_preprocessor),
+                    ("val_images", self.val_data_preprocessor),
+                ):
+                    if self.verbose_log:
+                        print(f"validation/{tag} @ iter {it}...", flush=True)
+                    t_val = time.time()
+                    val_losses = self.run_validation(
+                        it - 1, prep, sample_images_dirpath
+                    )
+                    self.logger.add_scalars(f"validation/{tag}", val_losses, it)
+                    if self.verbose_log:
+                        print(
+                            f"validation/{tag} done in {time.time() - t_val:.0f}s",
+                            flush=True,
+                        )
 
         self.logger.flush()
 
@@ -248,6 +265,8 @@ class Trainer:
         total: Dict[str, float] = {}
         for frame_num in frame_nums:
             frame_num = int(frame_num)
+            if self.verbose_log:
+                print(f"  rendering frame {frame_num:04}...", flush=True)
             batch = data_preprocessor.get_next_batch(iter_num, image_num=frame_num)
             outputs, losses = self.renderer.render(
                 self.params,
@@ -383,14 +402,22 @@ def resolve_scene_ids(configs: Dict[str, Any], database_dirpath: Path):
     dl = configs["data_loader"]
     for key in ("scene_ids", "scene_names", "scene_nums"):
         if dl.get(key):
-            return list(np.unique(dl[key]))
+            ids = list(np.unique(dl[key]))
+            if key == "scene_nums":
+                # The reference entry points convert scene numbers to
+                # zero-padded scene ids before training, so DTU/RealEstate
+                # run dirs are '00021'-style (DtuTrainerTester01.py:57,
+                # RealEstateTrainerTester01.py:57).
+                ids = [f"{int(n):05}" for n in ids]
+            return ids
     import pandas as pd
 
     set_num = dl["train_set_num"]
     csv = database_dirpath / f"train_test_sets/set{set_num:02}/TrainVideosData.csv"
     data = pd.read_csv(csv)
-    col = "scene_name" if "scene_name" in data.columns else "scene_num"
-    return list(np.unique(data[col].to_numpy()))
+    if "scene_name" in data.columns:
+        return list(np.unique(data["scene_name"].to_numpy()))
+    return [f"{int(n):05}" for n in np.unique(data["scene_num"].to_numpy())]
 
 
 def start_training(configs: Dict[str, Any]):
