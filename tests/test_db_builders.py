@@ -105,6 +105,64 @@ class TestRealEstateBuilder:
         assert len(test) == 2 * 48
         assert set(train["scene_num"]) == {0, 1}
 
+    @staticmethod
+    def _write_camera_file(path, translations, timestamps=None):
+        """Camera file with identity rotations and given per-frame camera
+        positions (w2c translation = -position for identity R)."""
+        lines = ["https://example.com/video"]
+        ts_list = timestamps or [1000 * (i + 1) for i in range(len(translations))]
+        for ts, t in zip(ts_list, translations):
+            pose = np.hstack([np.eye(3), -np.asarray(t, float)[:, None]])
+            vals = [str(ts)] + ["0.5"] * 4 + ["0", "0"] + [
+                f"{v:.6f}" for v in pose.reshape(-1)
+            ]
+            lines.append(" ".join(vals))
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text("\n".join(lines))
+
+    def test_scene_selection_motion_filter(self, tmp_path):
+        """Reference SceneSelector01 semantics: xy-dominant motion above the
+        translation threshold is 'filtered'; dolly-z and static scenes can
+        only enter through the random bucket."""
+        ext = tmp_path / "extracted/test"
+        n = 8
+        # scene A: strong x motion (should top the filtered list)
+        self._write_camera_file(
+            ext / "sceneA/CameraData.txt",
+            [(0.2 * i, 0.0, 0.0) for i in range(n)],
+        )
+        # scene B: pure z dolly (fails the xy-motion condition)
+        self._write_camera_file(
+            ext / "sceneB/CameraData.txt",
+            [(0.0, 0.0, 0.2 * i) for i in range(n)],
+        )
+        # scene C: sub-threshold jitter (fails the translation floor)
+        self._write_camera_file(
+            ext / "sceneC/CameraData.txt",
+            [(1e-5 * i, 0.0, 0.0) for i in range(n)],
+        )
+        out = tmp_path / "processed/test01"
+        all_df = re_builder.select_scenes(
+            ext, out,
+            num_scenes=2, percentage_xy_motion_scenes=50,
+            start_offset=0, num_frames_per_scene=4,
+            translation_threshold=0.01, seed=0,
+        )
+        filtered = pd.read_csv(out / "Cache/FilteredScenesData.csv")
+        rand = pd.read_csv(out / "Cache/RandomScenesData.csv")
+        assert filtered["scene_name"].tolist() == ["sceneA"]
+        # one random pick from the remaining scenes, no double-selection
+        assert len(rand) == 1 and rand["scene_name"][0] in {"sceneB", "sceneC"}
+        assert len(all_df) == 2
+        assert (out / "Configs.json").exists()
+        # strict-config resume: identical params re-run without error
+        re_builder.select_scenes(
+            ext, out,
+            num_scenes=2, percentage_xy_motion_scenes=50,
+            start_offset=0, num_frames_per_scene=4,
+            translation_threshold=0.01, seed=0,
+        )
+
 
 class TestDtuBuilder:
     def test_train_test_splits(self, tmp_path):

@@ -16,6 +16,10 @@ Parity targets (paths relative to /root/reference/):
   from the test list (:33-48)
 - VideoPoseCreator01_Original: the original camera trajectory as the video
   path.
+- SceneSelector01: pre-download scene curation — score camera-motion
+  segments per video, keep windows whose motion is primarily x/y (not
+  dolly-z) and above a translation threshold, then mix top-scored and
+  random scenes (:50-135).
 """
 
 from pathlib import Path
@@ -203,6 +207,136 @@ def create_original_video_poses(
         np.savetxt(out / f"{int(scene_num):05}.csv", poses, delimiter=",")
 
 
+def _segment_motion_stats(
+    poses_3x4: np.ndarray, step_size: int, num_frames_per_scene: int
+) -> Optional[np.ndarray]:
+    """Per-segment |relative translation| stats (reference SceneSelector01
+    compute_distances + the per-window strided slicing :64-67, :111-123).
+
+    Returns (num_segments, num_frames_per_scene - 1, 4) of abs
+    [tx, ty, tz, norm] per step inside each sliding window, or None when the
+    video is too short for a single window.
+    """
+    n = poses_3x4.shape[0]
+    num_segments = n - (num_frames_per_scene - 1) * step_size
+    if num_segments <= 0:
+        return None
+    t = compute_extrinsic_matrices(poses_3x4)
+    rel = t[step_size:] @ np.linalg.inv(t[:-step_size])
+    trans = rel[:, :3, 3]
+    steps = np.abs(
+        np.concatenate([trans, np.linalg.norm(trans, axis=1, keepdims=True)], 1)
+    )
+    window = (num_frames_per_scene - 1) * step_size
+    return np.stack(
+        [steps[i:i + window:step_size] for i in range(num_segments)]
+    )
+
+
+def select_scenes(
+    extracted_dirpath: Path,
+    output_dirpath: Path,
+    *,
+    num_scenes: int = 10,
+    percentage_xy_motion_scenes: int = 50,
+    step_size: int = 1,
+    start_offset: int = 15,
+    end_offset: int = 0,
+    num_frames_per_scene: int = 50,
+    translation_threshold: float = 0.01,
+    seed: int = 0,
+):
+    """Motion-based scene curation (reference SceneSelector01).
+
+    For every video under `extracted_dirpath` ({scene}/CameraData.txt), score
+    each `num_frames_per_scene`-frame window: keep it when every step moves
+    at least `translation_threshold` AND some step moves more in x or y than
+    in z (sideways/vertical parallax rather than pure dolly — the motion
+    ViP-NeRF's visibility prior benefits from). Select the
+    `percentage_xy_motion_scenes`% best-scored scenes plus random scenes for
+    the rest, one window per scene (reference select_segments :88-110).
+
+    Writes the reference's output contract into `output_dirpath`:
+    Cache/{All,Filtered,Random}ScenesData.csv with
+    (scene_name, start_timestamp) and a strict Configs.json.
+    """
+    extracted_dirpath = Path(extracted_dirpath)
+    output_dirpath = Path(output_dirpath)
+    rng = np.random.default_rng(seed)
+
+    filtered_rows = []  # (scene, timestamp, mean |translation| score)
+    random_rows = []
+    for scene_dir in sorted(p for p in extracted_dirpath.iterdir() if p.is_dir()):
+        cam_path = scene_dir / "CameraData.txt"
+        if not cam_path.exists():
+            continue
+        data = parse_camera_file(cam_path)
+        stop = len(data["timestamps"]) - end_offset
+        poses = data["poses_3x4"][start_offset:stop]
+        timestamps = data["timestamps"][start_offset:stop]
+        stats = _segment_motion_stats(poses, step_size, num_frames_per_scene)
+        if stats is None:
+            continue
+        num_segments = stats.shape[0]
+        random_rows.append(
+            (scene_dir.name, int(timestamps[rng.integers(0, num_segments)]))
+        )
+        # segment_filter01 (:140-148): per-window translation floor on the
+        # step norms, and any step with |tz| < |tx| or |tz| < |ty|
+        keep = (stats[:, :, 3].min(axis=1) >= translation_threshold) & np.any(
+            (stats[:, :, 2] < stats[:, :, 0]) | (stats[:, :, 2] < stats[:, :, 1]),
+            axis=1,
+        )
+        if not keep.any():
+            continue
+        scores = stats[:, :, 3].mean(axis=1)
+        best = int(np.flatnonzero(keep)[np.argmax(scores[keep])])
+        filtered_rows.append(
+            (scene_dir.name, int(timestamps[best]), float(scores[best]))
+        )
+
+    num_filtered = num_scenes * percentage_xy_motion_scenes // 100
+    filtered_rows.sort(key=lambda r: -r[2])
+    selected_filtered = [(s, t) for s, t, _ in filtered_rows[:num_filtered]]
+    chosen = {s for s, _ in selected_filtered}
+    selected_random = [
+        (s, t) for s, t in random_rows if s not in chosen
+    ][: num_scenes - len(selected_filtered)]
+
+    cache_dir = output_dirpath / "Cache"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    cols = ["scene_name", "start_timestamp"]
+    all_df = pd.DataFrame(
+        sorted(selected_filtered + selected_random), columns=cols
+    )
+    all_df.to_csv(cache_dir / "AllScenesData.csv", index=False)
+    pd.DataFrame(sorted(selected_filtered), columns=cols).to_csv(
+        cache_dir / "FilteredScenesData.csv", index=False
+    )
+    pd.DataFrame(sorted(selected_random), columns=cols).to_csv(
+        cache_dir / "RandomScenesData.csv", index=False
+    )
+    from vipnerf_tpu.priors.visibility import save_gen_configs
+
+    save_gen_configs(
+        output_dirpath,
+        {
+            "SceneSelector": "vipnerf_tpu.db_builders.real_estate",
+            "num_scenes": num_scenes,
+            "percentage_xy_motion_scenes": percentage_xy_motion_scenes,
+            "step_size": step_size,
+            "start_offset": start_offset,
+            "end_offset": end_offset,
+            "num_frames_per_scene": num_frames_per_scene,
+            "segment_filter": {
+                "name": "segment_filter01",
+                "translation_threshold": translation_threshold,
+            },
+        },
+    )
+    return all_df
+
+
 def main():
     import argparse
 
@@ -215,9 +349,21 @@ def main():
     parser.add_argument("--set_nums", type=int, nargs="*", default=[1, 2, 3, 4])
     parser.add_argument("--num_train_frames", type=int, nargs="*",
                         default=[2, 2, 3, 4])
+    parser.add_argument("--select_scenes_from", default=None,
+                        help="extracted_data dir: run motion-based scene "
+                             "selection (SceneSelector01) instead of building")
+    parser.add_argument("--select_output", default=None)
+    parser.add_argument("--num_scenes", type=int, default=10)
     args = parser.parse_args()
 
     db = Path(args.database_dirpath)
+    if args.select_scenes_from:
+        select_scenes(
+            Path(args.select_scenes_from),
+            Path(args.select_output or db / "processed_data/test01"),
+            num_scenes=args.num_scenes,
+        )
+        return
     if args.camera_files_dirpath:
         cam_dir = Path(args.camera_files_dirpath)
         map_video_names(cam_dir, db / "test/VideoNameMapping.csv")
