@@ -42,11 +42,13 @@ class TestPolicyTables:
         assert cfg["fixed_bounds"] == [1.0, 100.0]
 
     def test_dtu_policy(self):
-        # VisibilityMask05_DTU.py:38-40,235-238: LINEAR planes, bounds [.1,5]
+        # VisibilityMask05_DTU.py:38-40,235-238: LINEAR planes, bounds [.1,5],
+        # 128 planes (published VW02 Configs.json artifact)
         cfg = build_visibility_configs("DTU", 4)
         assert cfg["depth_planes_linear"] is True
         assert cfg["fixed_bounds"] == [0.1, 5.0]
         assert cfg["split_dir"] == "all"
+        assert cfg["num_depth_planes"] == 128
 
     def test_sparse_depth_policy(self):
         # DepthEstimator02_NeRF_LLFF.py:92-99

@@ -43,6 +43,7 @@ DATASET_POLICIES: Dict[str, Dict] = {
     },
     "DTU": {
         "database_dirpath": "DTU/data",
+        "num_depth_planes": 128,
         "scene_key": "scene_num",
         "split_dir": "all",
         "resolution_suffix": "",
@@ -63,7 +64,10 @@ def build_visibility_configs(database: str, gen_num: int,
         "database_dirpath": policy["database_dirpath"],
         "scene_key": policy["scene_key"],
         "split_dir": policy["split_dir"],
-        "num_depth_planes": 64,
+        # published VW02 artifacts: 64 planes (LLFF/RE), 128 (DTU) —
+        # /root/reference/data/databases/*/data/*/visibility_prior/VW02/
+        # Configs.json
+        "num_depth_planes": policy.get("num_depth_planes", 64),
         "temperature": 10,
         "resolution_suffix": policy["resolution_suffix"],
     }
