@@ -142,11 +142,17 @@ def create_train_test_set(
     num_train_frames: int,
     train_views_density: str = "sparse",
 ):
-    """Fixed RealEstate splits (reference TrainTestCreator01 :30-48)."""
+    """Fixed RealEstate splits (reference TrainTestCreator01 :39-49).
+
+    The sparse test split excludes ALL FIVE candidate train frames
+    [10, 20, 30, 0, 40] regardless of how many are actually trained on
+    (so e.g. set02 with 2 train frames still holds out frames 0 and 40
+    entirely — verified against the published set0{2,3,4} CSVs shipped in
+    the reference's data/ tree)."""
+    candidates = [10, 20, 30, 0, 40]
     if train_views_density == "sparse":
-        train_frames = [10, 20, 30, 0, 40][:num_train_frames]
-        train_frames = sorted(train_frames)
-        test_frames = sorted(set(range(50)) - set(train_frames))
+        train_frames = sorted(candidates[:num_train_frames])
+        test_frames = sorted(set(range(50)) - set(candidates))
     elif train_views_density == "dense":
         test_frames = list(range(0, 50, 5))
         train_frames = sorted(set(range(50)) - set(test_frames))
@@ -348,7 +354,8 @@ def main():
                         default=[0, 1, 2, 3, 4, 5, 6])
     parser.add_argument("--set_nums", type=int, nargs="*", default=[1, 2, 3, 4])
     parser.add_argument("--num_train_frames", type=int, nargs="*",
-                        default=[2, 2, 3, 4])
+                        default=[-1, 2, 3, 4],
+                        help="-1 = dense protocol (published set01)")
     parser.add_argument("--select_scenes_from", default=None,
                         help="extracted_data dir: run motion-based scene "
                              "selection (SceneSelector01) instead of building")
@@ -379,7 +386,10 @@ def main():
                 cam_file, i, db / "test/database_data", video_path=video_path
             )
     for set_num, n in zip(args.set_nums, args.num_train_frames):
-        create_train_test_set(db, set_num, args.scene_nums, n)
+        create_train_test_set(
+            db, set_num, args.scene_nums, n,
+            train_views_density="dense" if n == -1 else "sparse",
+        )
         create_original_video_poses(db, set_num)
 
 
