@@ -34,7 +34,7 @@ import numpy as np
 def full_size_configs(root: Path, num_iterations: int, raw_noise_std: float,
                       ndc: bool = False, num_rays: int = 2048,
                       sd_rays: int = 2048, lr: float = 5e-4,
-                      vp_start: int = 30000):
+                      vp_start: int = 30000, seed: int = 0):
     mlp = {
         "num_samples": 64,
         "netdepth": 8,
@@ -110,7 +110,7 @@ def full_size_configs(root: Path, num_iterations: int, raw_noise_std: float,
         "validation_chunk_size": 65536,
         "validation_save_loss_maps": False,
         "model_save_interval": num_iterations,
-        "seed": 0,
+        "seed": seed,
         "device": [0],
     }
 
@@ -132,6 +132,7 @@ def main():
     parser.add_argument("--lr", type=float, default=5e-4)
     parser.add_argument("--vp_start", type=int, default=30000,
                         help="visibility-prior activation iteration")
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
     from vipnerf_tpu.data.synthetic import write_synthetic_database
@@ -153,7 +154,7 @@ def main():
     configs = full_size_configs(root, args.iters, args.raw_noise_std,
                                 ndc=args.ndc, num_rays=args.num_rays,
                                 sd_rays=args.sd_rays, lr=args.lr,
-                                vp_start=args.vp_start)
+                                vp_start=args.vp_start, seed=args.seed)
     if args.grad_clip_norm:
         configs["optimizer"]["grad_clip_norm"] = args.grad_clip_norm
     for loss in configs["losses"]:
