@@ -1,0 +1,228 @@
+"""Gradient parity vs the reference PyTorch implementation.
+
+Extends the forward golden-parity test (test_reference_parity.py) to the
+TRAINING SIGNAL: identical parameters + identical batch (produced by OUR
+DataPreprocessor on the synthetic scene, whose key contract matches the
+reference's DataPreprocessor01) through the FULL loss stack
+(MSE + VisibilityLoss + VisibilityPriorLoss + SparseDepthMSE, reference
+LossComputer01) must give the same per-loss values AND the same
+d(TotalLoss)/d(params) for every parameter tensor. Determinism: perturb off,
+raw_noise_std 0 (reference gates both on self.training AND the config value,
+VipNeRF01.py:180-182,550-553, so a train-mode forward is deterministic).
+
+This pins the backward semantics the losses rely on — in particular the
+bidirectional stop-grad in VisibilityLoss01 (:55-69) and the coarse-weights
+stop-grad in the fine resampling (sample_pdf det path) — at full MLP width
+(8x256, PE 10/4), so a dynamics divergence from the reference cannot hide
+in the loss/backward math.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference checkout not available"
+)
+
+
+def full_stack_configs(root: Path):
+    mlp = {
+        "num_samples": 32,
+        "netdepth": 8,
+        "netwidth": 256,
+        "points_positional_encoding_degree": 10,
+        "views_positional_encoding_degree": 4,
+        "use_view_dirs": True,
+        "view_dependent_rgb": True,
+        "predict_visibility": True,
+    }
+    fine = dict(mlp)
+    fine["num_samples"] = 64
+    return {
+        "train_num": 1,
+        "database": "NeRF_LLFF",
+        "database_dirpath": "databases/NeRF_LLFF/data",
+        "root_dirpath": str(root),
+        "data_loader": {
+            "data_loader_name": "NerfLlffDataLoader01",
+            "data_preprocessor_name": "DataPreprocessor01",
+            "train_set_num": 2,
+            "scene_names": ["synth01"],
+            "scene_id": "synth01",
+            "resolution_suffix": "",
+            "recenter_camera_poses": True,
+            "bd_factor": 0.75,
+            "spherify": False,
+            "ndc": False,
+            "batching": True,
+            "downsampling_factor": 1,
+            "num_rays": 48,
+            "precrop_fraction": 1,
+            "precrop_iterations": -1,
+            "visibility_prior": {
+                "load_masks": True,
+                "load_weights": False,
+                "masks_dirname": "VW02",
+            },
+            "sparse_depth": {"dirname": "DE02", "num_rays": 16},
+        },
+        "model": {
+            "name": "VipNeRF01",
+            "coarse_mlp": mlp,
+            "fine_mlp": fine,
+            "chunk": 4096,
+            "lindisp": False,
+            "netchunk": 16384,
+            "perturb": False,  # deterministic for exact parity
+            "raw_noise_std": 0.0,
+            "white_bkgd": False,
+        },
+        "losses": [
+            {"name": "MSE01", "weight": 1},
+            {"name": "VisibilityLoss01", "weight": 0.1},
+            {"name": "SparseDepthMSE01", "weight": 0.1},
+            {"name": "VisibilityPriorLoss01", "iter_weights": {"0": 0.001}},
+        ],
+        "optimizer": {
+            "lr_decayer_name": "NeRFLearningRateDecayer01",
+            "lr_initial": 5e-4, "lr_decay": 250, "beta1": 0.9, "beta2": 0.999,
+        },
+        "seed": 0,
+        "device": [0],
+    }
+
+
+def torch_grads_to_pytree(torch_model):
+    """torch .grad tensors -> our (in, out) param-pytree layout."""
+
+    def grab(linear):
+        return {
+            "w": linear.weight.grad.detach().numpy().T.copy(),
+            "b": linear.bias.grad.detach().numpy().copy(),
+        }
+
+    out = {}
+    for ours_key, theirs in (
+        ("coarse", torch_model.coarse_model),
+        ("fine", torch_model.fine_model),
+    ):
+        out[ours_key] = {
+            "pts_linears": [grab(pl) for pl in theirs.pts_linears],
+            "pts_output_linear": grab(theirs.pts_output_linear),
+            "feature_linear": grab(theirs.feature_linear),
+            "views_linears": [grab(theirs.views_linears[0])],
+            "views_output_linear": grab(theirs.views_output_linear),
+        }
+    return out
+
+
+def test_full_loss_stack_gradients_match_reference(tmp_path):
+    import torch
+
+    sys.path.insert(0, (REFERENCE / "src").as_posix())
+    from loss_functions.LossComputer01 import LossComputer as RefLossComputer
+    from models.VipNeRF01 import VipNeRF  # noqa: E402
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_reference_parity import copy_params_to_torch
+    from vipnerf_tpu.data import get_data_loader, get_data_preprocessor
+    from vipnerf_tpu.data.synthetic import write_synthetic_database
+    from vipnerf_tpu.losses import LossComputer
+    from vipnerf_tpu.models import vip_nerf
+
+    write_synthetic_database(
+        tmp_path / "data/databases",
+        scene_name="synth01",
+        num_frames=4,
+        train_frames=(0, 3),
+        val_frames=(1,),
+        height=32,
+        width=40,
+    )
+    configs = full_stack_configs(tmp_path)
+    loader = get_data_loader(
+        configs, tmp_path / "data/databases/NeRF_LLFF/data", mode="train"
+    )
+    prep = get_data_preprocessor(
+        configs, mode="train", raw_data_dict=loader.load_data()
+    )
+    batch = prep.get_next_batch(0)
+    batch["iter_num"] = 100  # static (VPL staged weight 0.001 active)
+
+    # ---------------- ours: per-loss values + grads ----------------
+    params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)
+    loss_computer = LossComputer(configs)
+
+    def total_loss_fn(p):
+        out = vip_nerf.render_rays(
+            p, configs, batch, train=True, sec_views_vis=True, retraw=True
+        )
+        losses = loss_computer.compute_losses(batch, out)
+        return losses["TotalLoss"], losses
+
+    (ours_total, ours_losses), ours_grads = jax.value_and_grad(
+        total_loss_fn, has_aux=True
+    )(params)
+
+    # ---------------- reference: same batch, same params ----------------
+    torch_model = VipNeRF(configs, {})
+    torch_model.train()
+    copy_params_to_torch(params, torch_model)
+
+    torch_batch = {}
+    for key, val in batch.items():
+        arr = np.asarray(val)
+        if arr.ndim == 0:
+            torch_batch[key] = arr.item()
+        else:
+            torch_batch[key] = torch.from_numpy(arr.copy())
+    # the reference model accepts explicit secondary origins (VipNeRF01.py:85)
+    torch_batch["rays_o2"] = torch.from_numpy(
+        np.asarray(
+            vip_nerf._gather_secondary_origins(batch["poses"], batch["pixel_id"])
+        )
+    )
+
+    ref_out = torch_model(torch_batch, retraw=True, sec_views_vis=True)
+    ref_losses = RefLossComputer(configs).compute_losses(torch_batch, ref_out)
+
+    # per-loss value parity
+    for name in (
+        "MSE01", "VisibilityLoss01", "SparseDepthMSE01", "VisibilityPriorLoss01"
+    ):
+        ours_v = float(ours_losses[name]["loss_value"])
+        ref_v = float(ref_losses[name]["loss_value"])
+        np.testing.assert_allclose(ours_v, ref_v, rtol=1e-4, atol=1e-6,
+                                   err_msg=name)
+    np.testing.assert_allclose(
+        float(ours_total), float(ref_losses["TotalLoss"]), rtol=1e-4, atol=1e-6
+    )
+
+    # gradient parity, every parameter tensor
+    ref_losses["TotalLoss"].backward()
+    ref_grads = torch_grads_to_pytree(torch_model)
+
+    flat_ours = jax.tree_util.tree_flatten_with_path(ours_grads)[0]
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    assert len(flat_ours) == len(flat_ref)
+    checked = 0
+    for (path_o, go), (path_r, gr) in zip(flat_ours, flat_ref):
+        assert jax.tree_util.keystr(path_o) == jax.tree_util.keystr(path_r)
+        go = np.asarray(go)
+        scale = max(np.abs(gr).max(), 1e-8)
+        # atol 1e-3 on max-normalized grads: well above f32 summation-order
+        # noise (measured ~6e-4 worst-element over 48 rays x 64 samples),
+        # far below any semantic divergence (a wrong stop-grad flips O(1)).
+        np.testing.assert_allclose(
+            go / scale, gr / scale, atol=1e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path_o)}",
+        )
+        checked += 1
+    assert checked >= 44  # 11 tensors x 2 (w, b) x 2 MLPs
