@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--val_interval", type=int, default=None,
                     help="default: min(10000, iters)")
     ap.add_argument("--save_interval", type=int, default=None)
+    ap.add_argument("--f32", action="store_true",
+                    help="f32 storage instead of bf16 matmuls (1.45x step "
+                         "cost; avoids the bf16-noise dead-sigma collapse, "
+                         "BASELINE.md round-3 precision table)")
     args = ap.parse_args()
 
     from vipnerf_tpu.apps.common import DatasetApp
@@ -86,7 +90,7 @@ def main():
         bd_factor=0.75,
         num_iterations=args.iters,
         resolution_suffix="_down4",
-        bf16_matmuls=True,
+        bf16_matmuls=not args.f32,
         validation_interval=args.val_interval or min(10000, args.iters),
         model_save_interval=args.save_interval or min(10000, args.iters),
     )

@@ -34,7 +34,8 @@ import numpy as np
 def full_size_configs(root: Path, num_iterations: int, raw_noise_std: float,
                       ndc: bool = False, num_rays: int = 2048,
                       sd_rays: int = 2048, lr: float = 5e-4,
-                      vp_start: int = 30000, seed: int = 0):
+                      vp_start: int = 30000, seed: int = 0,
+                      bf16: bool = True):
     mlp = {
         "num_samples": 64,
         "netdepth": 8,
@@ -87,7 +88,7 @@ def full_size_configs(root: Path, num_iterations: int, raw_noise_std: float,
             "perturb": True,
             "raw_noise_std": raw_noise_std,
             "white_bkgd": False,
-            "bf16_matmuls": True,
+            "bf16_matmuls": bf16,
         },
         "losses": [
             {"name": "MSE01", "weight": 1},
@@ -133,6 +134,10 @@ def main():
     parser.add_argument("--vp_start", type=int, default=30000,
                         help="visibility-prior activation iteration")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no_bf16", action="store_true",
+                        help="f32 matmuls (pair with "
+                             "JAX_DEFAULT_MATMUL_PRECISION=highest for true "
+                             "f32 MXU passes when probing precision effects)")
     args = parser.parse_args()
 
     from vipnerf_tpu.data.synthetic import write_synthetic_database
@@ -154,7 +159,8 @@ def main():
     configs = full_size_configs(root, args.iters, args.raw_noise_std,
                                 ndc=args.ndc, num_rays=args.num_rays,
                                 sd_rays=args.sd_rays, lr=args.lr,
-                                vp_start=args.vp_start, seed=args.seed)
+                                vp_start=args.vp_start, seed=args.seed,
+                                bf16=not args.no_bf16)
     if args.grad_clip_norm:
         configs["optimizer"]["grad_clip_norm"] = args.grad_clip_norm
     for loss in configs["losses"]:
