@@ -309,3 +309,28 @@ class TestRenderRays:
         np.testing.assert_allclose(
             np.asarray(out1["rgb_fine"]), np.asarray(out2["rgb_fine"]), atol=1e-6
         )
+
+    def test_f32_heads_mixed_precision(self):
+        """f32_heads: no-op without bf16; with bf16 it runs the head layers
+        in f32 and lands closer to the pure-f32 render than pure bf16."""
+        configs = small_configs()
+        params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)
+        batch = make_batch(nr=8)
+        ref = vip_nerf.render_rays(params, configs, batch, train=False)
+        configs["model"]["f32_heads"] = True
+        noop = vip_nerf.render_rays(params, configs, batch, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(ref["rgb_fine"]), np.asarray(noop["rgb_fine"])
+        )
+        configs["model"]["bf16_matmuls"] = True
+        mixed = vip_nerf.render_rays(params, configs, batch, train=False)
+        configs["model"]["f32_heads"] = False
+        pure_bf16 = vip_nerf.render_rays(params, configs, batch, train=False)
+        err_mixed = np.abs(
+            np.asarray(mixed["rgb_fine"]) - np.asarray(ref["rgb_fine"])
+        ).mean()
+        err_bf16 = np.abs(
+            np.asarray(pure_bf16["rgb_fine"]) - np.asarray(ref["rgb_fine"])
+        ).mean()
+        assert np.isfinite(err_mixed)
+        assert err_mixed <= err_bf16

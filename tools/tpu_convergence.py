@@ -134,6 +134,8 @@ def main():
     parser.add_argument("--vp_start", type=int, default=30000,
                         help="visibility-prior activation iteration")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--f32_heads", action="store_true",
+                        help="bf16 trunk + f32 head layers (mixed precision)")
     parser.add_argument("--no_bf16", action="store_true",
                         help="f32 matmuls (pair with "
                              "JAX_DEFAULT_MATMUL_PRECISION=highest for true "
@@ -161,6 +163,8 @@ def main():
                                 sd_rays=args.sd_rays, lr=args.lr,
                                 vp_start=args.vp_start, seed=args.seed,
                                 bf16=not args.no_bf16)
+    if args.f32_heads:
+        configs["model"]["f32_heads"] = True
     if args.grad_clip_norm:
         configs["optimizer"]["grad_clip_norm"] = args.grad_clip_norm
     for loss in configs["losses"]:

@@ -151,6 +151,7 @@ def apply_mlp(
     raw_noise_std: float = 0.0,
     noise_key: Optional[jax.Array] = None,
     bf16_matmuls: bool = False,
+    f32_heads: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Evaluate the MLP on flattened points.
 
@@ -159,6 +160,12 @@ def apply_mlp(
     forward (:509-535): sigma (npts, 1), rgb (npts, 3), plus
     rgb_view_independent / rgb_view_dependent / visibility / visibility2 as
     configured. sigma noise is applied when noise_key is given (training).
+
+    f32_heads (with bf16_matmuls): keep the trunk's 8 wide matmuls in
+    bfloat16 (the HBM bulk) but run every output-adjacent layer
+    (pts_output, feature, views) in float32 on a float32-upcast trunk
+    activation — a mixed-precision mode probing whether the bf16-noise
+    dead-sigma collapse (BASELINE.md round-3) is triggered at the heads.
     """
     skips = (4,)
     view_dep_rgb = mlp_cfg["view_dependent_rgb"]
@@ -195,7 +202,11 @@ def apply_mlp(
         if i in skips:
             h = jnp.concatenate([enc_pts, h], axis=-1)
 
-    pts_output = _dense(h, params["pts_output_linear"], bf16_matmuls)
+    head_bf16 = bf16_matmuls and not f32_heads
+    if bf16_matmuls and f32_heads:
+        h = h.astype(jnp.float32)
+
+    pts_output = _dense(h, params["pts_output_linear"], head_bf16)
     sigma = pts_output[..., 0:1]
     if noise_key is not None and raw_noise_std > 0.0:
         sigma = sigma + raw_noise_std * jax.random.normal(
@@ -209,7 +220,7 @@ def apply_mlp(
 
     if view_dep_outputs:
         assert view_dirs is not None, "view-dependent outputs need view_dirs"
-        feature = _dense(h, params["feature_linear"], bf16_matmuls)
+        feature = _dense(h, params["feature_linear"], head_bf16)
 
         def view_branch(enc_views: jnp.ndarray, feat: jnp.ndarray):
             """Reference get_view_dependent_outputs (:568-596)."""
@@ -225,8 +236,8 @@ def apply_mlp(
                         feat.shape[-1] + views_in,
                         enc_views.shape[-1] - views_in,
                     )
-                hv = jax.nn.relu(_dense(hv, layer, bf16_matmuls))
-            view_out = _dense(hv, params["views_output_linear"], bf16_matmuls)
+                hv = jax.nn.relu(_dense(hv, layer, head_bf16))
+            view_out = _dense(hv, params["views_output_linear"], head_bf16)
             branch: Dict[str, jnp.ndarray] = {}
             ch = 0
             if view_dep_rgb:

@@ -108,6 +108,7 @@ def _run_mlp_on_samples(
     bf16_matmuls: bool,
     remat: bool,
     netchunk_map: int = 0,
+    f32_heads: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Flatten (nr, ns, ...) sample tensors, run the MLP, reshape back
     (reference run_network :264-293; the host netchunk loop becomes an
@@ -142,6 +143,7 @@ def _run_mlp_on_samples(
             raw_noise_std=raw_noise_std,
             noise_key=noise_key,
             bf16_matmuls=bf16_matmuls,
+            f32_heads=f32_heads,
         )
 
     fwd = _remat_wrap(fwd, remat)
@@ -182,7 +184,7 @@ def _run_mlp_on_samples(
                 lambda p, a, b, c: apply_mlp(
                     p, mlp_cfg, a, b, c,
                     raw_noise_std=raw_noise_std, noise_key=key,
-                    bf16_matmuls=bf16_matmuls,
+                    bf16_matmuls=bf16_matmuls, f32_heads=f32_heads,
                 ),
                 remat,
             )
@@ -234,6 +236,7 @@ def render_rays(
     perturb = bool(mcfg["perturb"]) and train
     raw_noise_std = mcfg["raw_noise_std"] if train else 0.0
     bf16 = mcfg.get("bf16_matmuls", False)
+    f32_heads = mcfg.get("f32_heads", False)
     remat = mcfg.get("remat", False)
     # Training chunks small (bounds live fwd+bwd activations); inference
     # fwd-only can take much larger chunks — sequential-loop overhead
@@ -298,6 +301,7 @@ def render_rays(
             bf16=bf16,
             remat=remat,
             netchunk_map=netchunk_map,
+            f32_heads=f32_heads,
         )
         weights_coarse = out_c["weights"]
         out["z_vals_coarse"] = z_coarse
@@ -333,6 +337,7 @@ def render_rays(
             bf16=bf16,
             remat=remat,
             netchunk_map=netchunk_map,
+            f32_heads=f32_heads,
         )
         out["z_vals_fine"] = z_fine
         for k, v in out_f.items():
@@ -368,6 +373,7 @@ def _render_one_level(
     bf16: bool,
     remat: bool,
     netchunk_map: int = 0,
+    f32_heads: bool = False,
 ):
     """One MLP evaluation + compositing pass (coarse or fine)."""
     # Sample points in the sampling space (NDC coords in NDC mode, :104-107)
@@ -388,6 +394,7 @@ def _render_one_level(
         bf16_matmuls=bf16,
         remat=remat,
         netchunk_map=netchunk_map,
+        f32_heads=f32_heads,
     )
 
     if not ndc:
