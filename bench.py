@@ -91,6 +91,10 @@ def main():
             "chunk": 4096, "lindisp": False, "netchunk": 16384,
             "perturb": True, "raw_noise_std": 1.0, "white_bkgd": False,
             "bf16_matmuls": bf16, "remat": remat,
+            # stability-rescue mixed precision (BASELINE.md round-3):
+            # bf16 trunk + f32 heads survives where pure bf16 collapses;
+            # default ON to bench the shipping config (1.9% cost measured)
+            "f32_heads": os.environ.get("BENCH_F32_HEADS", "1") == "1",
             # measured optimum on v5e: bounds live activations per map
             # iteration; also dodges the backend's regalloc failure on very
             # large fused bodies

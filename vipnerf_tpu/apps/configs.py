@@ -112,6 +112,12 @@ def build_train_configs(
             "raw_noise_std": 1.0,
             "white_bkgd": False,
             "bf16_matmuls": bf16_matmuls,
+            # stability default (BASELINE.md round-3 precision study):
+            # pure-bf16 activation noise can drive the dead-sigma collapse;
+            # f32 heads rescue it at a measured 1.9% step cost (72.0k vs
+            # 73.4k rays/s) with f32-grade convergence (PSNR 19.0 at the
+            # matched probe config)
+            "f32_heads": bf16_matmuls,
             "remat": False,
             # measured optimum on TPU v5e (see bench.py): bounds live
             # activation memory per on-device map iteration
