@@ -30,7 +30,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def full_stack_configs(root: Path):
+def full_stack_configs(root: Path, ndc: bool = False):
     mlp = {
         "num_samples": 32,
         "netdepth": 8,
@@ -58,7 +58,7 @@ def full_stack_configs(root: Path):
             "recenter_camera_poses": True,
             "bd_factor": 0.75,
             "spherify": False,
-            "ndc": False,
+            "ndc": ndc,
             "batching": True,
             "downsampling_factor": 1,
             "num_rays": 48,
@@ -121,7 +121,8 @@ def torch_grads_to_pytree(torch_model):
     return out
 
 
-def test_full_loss_stack_gradients_match_reference(tmp_path):
+@pytest.mark.parametrize("ndc", [False, True])
+def test_full_loss_stack_gradients_match_reference(tmp_path, ndc):
     import torch
 
     sys.path.insert(0, (REFERENCE / "src").as_posix())
@@ -146,7 +147,7 @@ def test_full_loss_stack_gradients_match_reference(tmp_path):
         height=32,
         width=40,
     )
-    configs = full_stack_configs(tmp_path)
+    configs = full_stack_configs(tmp_path, ndc=ndc)
     loader = get_data_loader(
         configs, tmp_path / "data/databases/NeRF_LLFF/data", mode="train"
     )
