@@ -114,6 +114,36 @@ class TestVisibilityGenerationE2E:
         assert before.st_mtime == after.st_mtime
 
 
+class TestVisibilityGenerationDTU:
+    def test_dtu_layout_linear_planes(self, tmp_path):
+        """DTU path: scene_num keys -> zero-padded dirs, fixed bounds
+        [0.1, 5], LINEAR depth planes, full-res rgb (no suffix)."""
+        write_synthetic_database(
+            tmp_path / "data/databases",
+            dataset="DTU",
+            scene_name="00021",
+            num_frames=4,
+            train_frames=(0, 3),
+            val_frames=(1,),
+            height=24,
+            width=32,
+            with_visibility_prior=False,
+            with_sparse_depth=False,
+        )
+        main_visibility(
+            ["--database", "DTU", "--gen_nums", "2",
+             "--root_dirpath", str(tmp_path)]
+        )
+        out = tmp_path / "data/databases/DTU/data/all/visibility_prior/VW02"
+        w = np.load(out / "00021/visibility_weights/0000_0003.npy")
+        assert w.shape == (24, 32)
+        assert np.all((w >= 0) & (w <= 1))
+        cfg = json.loads((out / "Configs.json").read_text())
+        assert cfg["num_depth_planes"] == 128
+        assert cfg["depth_planes_linear"] is True
+        assert cfg["fixed_bounds"] == [0.1, 5.0]
+
+
 class TestSparseDepthCLI:
     def test_clear_error_without_colmap(self, tmp_path):
         from vipnerf_tpu.priors.sparse_depth import ColmapNotFoundError
