@@ -269,7 +269,9 @@ def main():
         "MLP fwd 14.0ms / fwd+bwd 46.3ms (HBM-roofline-bound: intensity "
         "N/2=128 FLOP/B vs chip ~400-500; padding K dims + remat policies "
         "measured no-ops; fused Pallas retired, see experiments/); "
-        "render+losses non-MLP ~5.4ms; gather 0.2ms; adam+scan ~4ms",
+        "render+losses non-MLP ~5.4ms; gather 0.2ms; adam+scan ~4ms. "
+        "Shipping mode = bf16 trunk + f32 heads (stability fix, +1.9% vs "
+        "pure bf16; BENCH_F32_HEADS=0 for the pure-bf16 number)",
         file=sys.stderr,
     )
 
