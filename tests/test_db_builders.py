@@ -166,6 +166,46 @@ class TestRealEstateBuilder:
             start_offset=0, num_frames_per_scene=4,
             translation_threshold=0.01, seed=0,
         )
+        # ... and a changed seed must be rejected (the random bucket
+        # depends on it)
+        with pytest.raises(RuntimeError, match="Configs mismatch"):
+            re_builder.select_scenes(
+                ext, out,
+                num_scenes=2, percentage_xy_motion_scenes=50,
+                start_offset=0, num_frames_per_scene=4,
+                translation_threshold=0.01, seed=1,
+            )
+
+    def test_scene_selection_filter_shortfall_underfills(self, tmp_path):
+        """Reference slice semantics: when fewer scenes pass the filter than
+        requested, the random bucket SKIPS that many candidates and the
+        selection under-fills (select_segments :88-110) — it does not top
+        up to num_scenes."""
+        ext = tmp_path / "extracted/test"
+        n = 6
+        self._write_camera_file(
+            ext / "sceneA/CameraData.txt",
+            [(0.2 * i, 0.0, 0.0) for i in range(n)],
+        )
+        for name in ("sceneB", "sceneC", "sceneD"):
+            self._write_camera_file(
+                ext / f"{name}/CameraData.txt",
+                [(0.0, 0.0, 0.2 * i) for i in range(n)],  # z-dolly: filtered out
+            )
+        out = tmp_path / "processed/test01"
+        all_df = re_builder.select_scenes(
+            ext, out,
+            num_scenes=4, percentage_xy_motion_scenes=50,  # wants 2 filtered
+            start_offset=0, num_frames_per_scene=3,
+            translation_threshold=0.01, seed=0,
+        )
+        # only 1 of 2 requested filtered scenes exists -> skip 1 random
+        # candidate, take num_random=2: total 3, not 4
+        assert len(all_df) == 3
+        filtered = pd.read_csv(out / "Cache/FilteredScenesData.csv")
+        assert filtered["scene_name"].tolist() == ["sceneA"]
+        rand = pd.read_csv(out / "Cache/RandomScenesData.csv")
+        assert len(rand) == 2
 
 
 class TestDtuBuilder:

@@ -241,6 +241,31 @@ class TestEndToEnd:
         latest = scene_dir / "saved_models/Model_Latest.ckpt"
         assert latest.resolve().name == "Model_Iter001260.ckpt"
 
+    def test_resume_regenerates_missing_boundary_validation(self, synth_root):
+        """Checkpoints are saved BEFORE validation; if a crash killed a
+        boundary's validation, resume must re-render it rather than
+        silently skip (trainer resume catch-up)."""
+        from vipnerf_tpu.train import start_training
+
+        configs = small_train_configs(synth_root, num_iterations=40)
+        configs["train_num"] = 7
+        configs["validation_interval"] = 40
+        configs["model_save_interval"] = 40
+        start_training(configs)
+        samples = synth_root / "runs/training/train0007/synth01/samples"
+        boundary = list((samples / "predicted_frames").glob("*_Iter00040.png"))
+        assert boundary
+        for p in boundary:
+            p.unlink()
+        # resume at the completed checkpoint: training loop is a no-op, but
+        # the missing boundary validation must be regenerated
+        configs2 = small_train_configs(synth_root, num_iterations=40)
+        configs2["train_num"] = 7
+        configs2["validation_interval"] = 40
+        configs2["model_save_interval"] = 40
+        start_training(configs2)
+        assert list((samples / "predicted_frames").glob("*_Iter00040.png"))
+
     def test_visibility_only_ablation(self, synth_root):
         """Reference demo1d-1f: visibility prior only, NO sparse_depth block
         (NerfLlffTrainerTester01.py:616-625) — exercises the no-sparse-depth

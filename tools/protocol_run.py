@@ -91,8 +91,14 @@ def main():
         num_iterations=args.iters,
         resolution_suffix="_down4",
         bf16_matmuls=not args.f32,
-        validation_interval=args.val_interval or min(10000, args.iters),
-        model_save_interval=args.save_interval or min(10000, args.iters),
+        validation_interval=(
+            args.val_interval if args.val_interval is not None
+            else min(10000, args.iters)
+        ),
+        model_save_interval=(
+            args.save_interval if args.save_interval is not None
+            else min(10000, args.iters)
+        ),
     )
     train_configs["model"]["remat"] = True
     train_configs["model"]["raw_noise_std"] = args.noise

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from vipnerf_tpu.infer import tester as tester_mod
+from vipnerf_tpu.utils.naming import scene_dirname
 from vipnerf_tpu.train import trainer as trainer_mod
 from vipnerf_tpu.utils.io import read_image, save_video
 
@@ -41,7 +42,7 @@ class DatasetApp:
 
     # ------------------------------------------------------------------ utils
     def _scene_dirname(self, scene_id) -> str:
-        return f"{int(scene_id):05}" if self.scene_key == "scene_num" else str(scene_id)
+        return scene_dirname(scene_id, self.scene_key)
 
     def _database_dirpath(self, configs: Dict[str, Any]) -> Path:
         key = configs.get("database_dirpath")

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from vipnerf_tpu.utils.io import read_image, read_mask
+from vipnerf_tpu.utils.naming import scene_dirname
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,7 +84,7 @@ class DataLoader:
         scene_id = configs["data_loader"]["scene_id"]
         if spec.scene_id_is_num:
             self.scene_num = int(scene_id)
-            self.scene_dirname = f"{self.scene_num:05}"
+            self.scene_dirname = scene_dirname(self.scene_num, "scene_num")
         else:
             self.scene_dirname = str(scene_id)
         self.resolution_suffix = (

@@ -302,12 +302,18 @@ def select_scenes(
         )
 
     num_filtered = num_scenes * percentage_xy_motion_scenes // 100
+    num_random = num_scenes - num_filtered
     filtered_rows.sort(key=lambda r: -r[2])
     selected_filtered = [(s, t) for s, t, _ in filtered_rows[:num_filtered]]
     chosen = {s for s, _ in selected_filtered}
-    selected_random = [
-        (s, t) for s, t in random_rows if s not in chosen
-    ][: num_scenes - len(selected_filtered)]
+    # Reference select_segments (:88-110): the random bucket is the deduped
+    # concat [selected_filtered, random] sliced [num_filtered:][:num_random]
+    # — when fewer scenes pass the filter than requested, the slice SKIPS
+    # the first (num_filtered - len(selected_filtered)) random candidates
+    # and the output under-fills num_scenes, rather than topping up.
+    random_pool = [(s, t) for s, t in random_rows if s not in chosen]
+    skip = num_filtered - len(selected_filtered)
+    selected_random = random_pool[skip:skip + num_random]
 
     cache_dir = output_dirpath / "Cache"
     cache_dir.mkdir(parents=True, exist_ok=True)
@@ -338,6 +344,9 @@ def select_scenes(
                 "name": "segment_filter01",
                 "translation_threshold": translation_threshold,
             },
+            # persisted so the strict-resume check catches a changed seed
+            # (the random bucket depends on it)
+            "seed": seed,
         },
     )
     return all_df

@@ -209,6 +209,7 @@ def start_generation(gen_configs: Dict, root_dirpath: Optional[Path] = None):
     """Generate sparse-depth priors for every scene of a train set
     (reference DepthEstimator02_NeRF_LLFF.py:45-84)."""
     from vipnerf_tpu.priors.visibility import save_gen_configs
+    from vipnerf_tpu.utils.naming import scene_dirname
     from vipnerf_tpu.utils.io import read_image
 
     root_dirpath = Path(root_dirpath) if root_dirpath else Path(".")
@@ -232,9 +233,7 @@ def start_generation(gen_configs: Dict, root_dirpath: Optional[Path] = None):
 
     tester = ColmapTester(tmp_dirpath)
     for scene_id in scene_ids:
-        scene_dir = (
-            f"{int(scene_id):05}" if scene_key == "scene_num" else str(scene_id)
-        )
+        scene_dir = scene_dirname(scene_id, scene_key)
         bounds_path = output_dirpath / f"{scene_dir}/EstimatedBounds.csv"
         if bounds_path.exists():
             continue

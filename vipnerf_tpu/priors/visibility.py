@@ -31,6 +31,9 @@ import pandas as pd
 import simplejson
 
 
+from vipnerf_tpu.utils.naming import scene_dirname
+
+
 def get_depth_planes(
     min_depth: float, max_depth: float, num_planes: int, linear: bool = False
 ) -> np.ndarray:
@@ -184,9 +187,7 @@ def start_generation(gen_configs: Dict, root_dirpath: Optional[Path] = None):
     num_planes = gen_configs["num_depth_planes"]
 
     for scene_id in scene_ids:
-        scene_dir = (
-            f"{int(scene_id):05}" if scene_key == "scene_num" else str(scene_id)
-        )
+        scene_dir = scene_dirname(scene_id, scene_key)
         frame_nums = video_data.loc[video_data[scene_key] == scene_id][
             "pred_frame_num"
         ].to_numpy()

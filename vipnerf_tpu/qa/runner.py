@@ -28,6 +28,7 @@ import pandas as pd
 import simplejson
 
 from vipnerf_tpu.qa import metrics
+from vipnerf_tpu.utils.naming import scene_dirname
 from vipnerf_tpu.qa.grouper import get_grouped_qa_scores
 from vipnerf_tpu.utils.io import read_image, read_mask, rescale_image
 
@@ -41,9 +42,7 @@ _SPLIT_DIR = {"RealEstate10K": "test", "NeRF_LLFF": "all", "DTU": "all"}
 
 
 def _scene_dirname(dataset: str, scene_id) -> str:
-    if _SCENE_KEY[dataset] == "scene_num":
-        return f"{int(scene_id):05}"
-    return str(scene_id)
+    return scene_dirname(scene_id, _SCENE_KEY[dataset])
 
 
 def _downsample_uint8(image: np.ndarray, factor: int) -> np.ndarray:

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vipnerf_tpu.data import get_data_loader, get_data_preprocessor
+from vipnerf_tpu.utils.naming import scene_dirname
 from vipnerf_tpu.infer.renderer import TiledRenderer
 from vipnerf_tpu.losses import LossComputer
 from vipnerf_tpu.models import get_model
@@ -138,6 +139,21 @@ class Trainer:
             self.params = jax.device_put(self.params, rep)
             self.opt_state = jax.device_put(self.opt_state, rep)
 
+        # Resume catch-up: checkpoints are written BEFORE validation (crash
+        # safety), so an interruption during a boundary's validation leaves
+        # a checkpoint whose validation artifacts are missing. Re-run that
+        # boundary's validation here instead of silently skipping it.
+        if (
+            start_iter > 0
+            and start_iter % validation_interval == 0
+            and not list(
+                (sample_images_dirpath / "predicted_frames").glob(
+                    f"*_Iter{start_iter:05}.png"
+                )
+            )
+        ):
+            self._boundary_validation(start_iter, sample_images_dirpath)
+
         def next_k(it: int) -> int:
             # Align scan chunks to every host-observable boundary.
             boundaries = [total_num_iters]
@@ -231,24 +247,27 @@ class Trainer:
                 self.save_model(it, saved_models_dirpath)
 
             if it % validation_interval == 0:
-                for tag, prep in (
-                    ("train_images", self.train_data_preprocessor),
-                    ("val_images", self.val_data_preprocessor),
-                ):
-                    if self.verbose_log:
-                        print(f"validation/{tag} @ iter {it}...", flush=True)
-                    t_val = time.time()
-                    val_losses = self.run_validation(
-                        it - 1, prep, sample_images_dirpath
-                    )
-                    self.logger.add_scalars(f"validation/{tag}", val_losses, it)
-                    if self.verbose_log:
-                        print(
-                            f"validation/{tag} done in {time.time() - t_val:.0f}s",
-                            flush=True,
-                        )
+                self._boundary_validation(it, sample_images_dirpath)
 
         self.logger.flush()
+
+    def _boundary_validation(self, it: int, sample_images_dirpath: Path):
+        for tag, prep in (
+            ("train_images", self.train_data_preprocessor),
+            ("val_images", self.val_data_preprocessor),
+        ):
+            if self.verbose_log:
+                print(f"validation/{tag} @ iter {it}...", flush=True)
+            t_val = time.time()
+            val_losses = self.run_validation(
+                it - 1, prep, sample_images_dirpath
+            )
+            self.logger.add_scalars(f"validation/{tag}", val_losses, it)
+            if self.verbose_log:
+                print(
+                    f"validation/{tag} done in {time.time() - t_val:.0f}s",
+                    flush=True,
+                )
 
     # ------------------------------------------------------------- validation
 
@@ -408,7 +427,7 @@ def resolve_scene_ids(configs: Dict[str, Any], database_dirpath: Path):
                 # zero-padded scene ids before training, so DTU/RealEstate
                 # run dirs are '00021'-style (DtuTrainerTester01.py:57,
                 # RealEstateTrainerTester01.py:57).
-                ids = [f"{int(n):05}" for n in ids]
+                ids = [scene_dirname(n, "scene_num") for n in ids]
             return ids
     import pandas as pd
 
@@ -417,7 +436,10 @@ def resolve_scene_ids(configs: Dict[str, Any], database_dirpath: Path):
     data = pd.read_csv(csv)
     if "scene_name" in data.columns:
         return list(np.unique(data["scene_name"].to_numpy()))
-    return [f"{int(n):05}" for n in np.unique(data["scene_num"].to_numpy())]
+    return [
+        scene_dirname(n, "scene_num")
+        for n in np.unique(data["scene_num"].to_numpy())
+    ]
 
 
 def start_training(configs: Dict[str, Any]):
