@@ -31,8 +31,15 @@ def mip_nerf_lr_decayer(optimizer_configs: Dict[str, Any]) -> Callable:
     lr_init = optimizer_configs["lr_initial"]
     lr_final = optimizer_configs["lr_final"]
     max_steps = optimizer_configs["num_iterations"]
-    lr_delay_steps = optimizer_configs.get("lr_delay_steps", 0)
-    lr_delay_mult = optimizer_configs.get("lr_delay_mult", 1.0)
+    # The reference names these lr_decay_steps/lr_decay_mult
+    # (MipNeRFLearningRateDecayer01.py:21-22); the original mipnerf repo
+    # calls them lr_delay_*. Accept both, reference name first.
+    lr_delay_steps = optimizer_configs.get(
+        "lr_decay_steps", optimizer_configs.get("lr_delay_steps", 0)
+    )
+    lr_delay_mult = optimizer_configs.get(
+        "lr_decay_mult", optimizer_configs.get("lr_delay_mult", 1.0)
+    )
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -62,4 +69,8 @@ def get_lr_schedule(configs: Dict[str, Any]) -> Callable:
     name = configs["optimizer"]["lr_decayer_name"]
     if name not in _REGISTRY:
         raise RuntimeError(f"Unknown lr decayer: {name}; known: {sorted(_REGISTRY)}")
-    return _REGISTRY[name](configs["optimizer"])
+    opt = dict(configs["optimizer"])
+    # the MipNeRF decayer needs the run length, which lives at the top level
+    # of a reference-style config (MipNeRFLearningRateDecayer01.py:20)
+    opt.setdefault("num_iterations", configs.get("num_iterations"))
+    return _REGISTRY[name](opt)
