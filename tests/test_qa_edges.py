@@ -297,3 +297,44 @@ class TestDtuMaskedQa:
                 / f"QA_Scores/predicted_frames/{name}_SceneWise.csv"
             )
             assert scene_csv.exists()
+
+
+class TestUncachedBatching:
+    """batching=False: the reference's unmaintained no-cache mode
+    (DataPreprocessor01.py:726-772) — random rays from one image per
+    iteration, regenerated on the fly."""
+
+    def test_uncached_batch_contract_and_render(self, llff_db):
+        import jax
+        import jax.numpy as jnp
+
+        from vipnerf_tpu.data import get_data_loader, get_data_preprocessor
+        from vipnerf_tpu.models import get_model
+
+        configs = _llff_config(llff_db, batching=False, ndc=True)
+        loader = get_data_loader(
+            configs, llff_db / "data/databases/NeRF_LLFF/data", mode="train"
+        )
+        prep = get_data_preprocessor(
+            configs, mode="train", raw_data_dict=loader.load_data()
+        )
+        nr = configs["data_loader"]["num_rays"]
+        batch = prep.get_next_batch(0)
+        assert batch["rays_o"].shape == (nr, 3)
+        assert batch["target_rgb"].shape == (nr, 3)
+        assert bool(jnp.all(batch["indices_mask_nerf"]))
+        for key in ("rays_o_ndc", "rays_d_ndc", "near_ndc", "far_ndc"):
+            assert key in batch  # ndc mode populated
+        # full-image request returns scanline order of that frame
+        full = prep.get_next_batch(0, image_num=5)
+        h, w = prep.resolution
+        assert full["rays_o"].shape == (h * w, 3)
+        # the regenerated rays render through the model end to end
+        init_fn, render_fn = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        out = render_fn(
+            params, configs, batch, train=False, sec_views_vis=False,
+            retraw=False,
+        )
+        rgb_key = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
+        assert np.isfinite(np.asarray(out[rgb_key])).all()
