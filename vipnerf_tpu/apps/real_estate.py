@@ -129,7 +129,7 @@ DEMOS = {
 
 
 def main():
-    run_main(DEMOS, default=["demo1a"])
+    run_main(DEMOS, default=["demo1a", "demo1b", "demo1c", "demo1d", "demo1e", "demo1f"])  # reference main() runs all six
 
 
 if __name__ == "__main__":
