@@ -266,6 +266,26 @@ class TestEndToEnd:
         start_training(configs2)
         assert list((samples / "predicted_frames").glob("*_Iter00040.png"))
 
+    def test_profiler_window_writes_trace(self, synth_root):
+        """configs['profiler'] traces the requested window to logs/profile
+        (SURVEY §5: the reference has no tracing; we add jax.profiler)."""
+        from vipnerf_tpu.train import start_training
+
+        configs = small_train_configs(synth_root, num_iterations=20)
+        configs["train_num"] = 8
+        configs["scan_steps"] = 10
+        configs["validation_interval"] = 20
+        configs["model_save_interval"] = 20
+        configs["profiler"] = {"start_iter": 0, "num_iters": 10}
+        start_training(configs)
+        profile_dir = (
+            synth_root / "runs/training/train0008/synth01/logs/profile"
+        )
+        assert profile_dir.exists()
+        assert list(profile_dir.rglob("*.trace.json*")) or list(
+            profile_dir.rglob("*.xplane.pb")
+        )
+
     def test_visibility_only_ablation(self, synth_root):
         """Reference demo1d-1f: visibility prior only, NO sparse_depth block
         (NerfLlffTrainerTester01.py:616-625) — exercises the no-sparse-depth
