@@ -98,6 +98,9 @@ ap.add_argument("--width", type=int, default=40)
 ap.add_argument("--lr", type=float, default=None)
 ap.add_argument("--torch_threads", type=int, default=1,
                 help="cap torch threads (the host has 1 core)")
+ap.add_argument("--save_interval", type=int, default=None,
+                help="reference model_save_interval: write real "
+                     "Model_Iter*.tar checkpoints (for conversion tests)")
 args = ap.parse_args()
 
 # ---------------- build synthetic database ----------------
@@ -218,7 +221,7 @@ train_configs = {
     "validation_interval": 10 ** 9,
     "validation_chunk_size": 65536,
     "validation_save_loss_maps": False,
-    "model_save_interval": 10 ** 9,
+    "model_save_interval": args.save_interval or 10 ** 9,
     "sample_save_interval": 10 ** 9,
     "mixed_precision_training": False,
     "seed": 0,
@@ -250,6 +253,13 @@ import os
 cwd = root / "cwd"
 cwd.mkdir(exist_ok=True)
 os.chdir(cwd)
+# The reference writes Configs.json from its ENTRY POINTS, not from
+# Trainer01.start_training (NerfLlffTrainerTester01.py:49) — mirror that so
+# the run tree is complete (checkpoint conversion auto-discovers it there).
+_out_dirpath = Path(f'../runs/training/train{train_configs["train_num"]:04}')
+_out_dirpath.mkdir(parents=True, exist_ok=True)
+Trainer01.save_configs(_out_dirpath, train_configs)
 Trainer01.start_training(train_configs)
 print(f"ref training {num_iters} iters: {time.time() - t0:.0f}s")
 print(f"per-iteration scalars written to {_FakeWriter.out_path}")
+print(f"run root: {root}")
