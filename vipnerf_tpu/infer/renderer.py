@@ -41,6 +41,35 @@ _KEEP_KEYS = (
 )
 
 
+def preview_configs(
+    configs: Dict[str, Any], num_samples: Optional[int] = None
+) -> Dict[str, Any]:
+    """Coarse-only render configs for interactive preview (beyond-reference).
+
+    The full ViP-NeRF frame evaluates 64 coarse + 192 fine samples per ray
+    through both 8x256 MLPs; dropping the fine pass cuts the per-frame FLOPs
+    ~4x while reusing the trained coarse MLP unchanged (it is trained on the
+    full loss stack, so its renders are a faithful preview). Optionally
+    override `num_samples` for a further speedup — note values other than
+    the trained count change the stratified z distribution the coarse MLP
+    was fit on, trading more quality.
+
+    Returns a new configs dict safe to hand to TiledRenderer alongside the
+    FULL model params (the unused `fine` subtree is simply not evaluated).
+    """
+    import copy
+
+    out = copy.deepcopy(
+        {k: v for k, v in configs.items() if k != "model"}
+    )
+    model = {k: v for k, v in configs["model"].items() if k != "fine_mlp"}
+    model["coarse_mlp"] = dict(model["coarse_mlp"])
+    if num_samples is not None:
+        model["coarse_mlp"]["num_samples"] = int(num_samples)
+    out["model"] = model
+    return out
+
+
 def _split_batch(batch: Dict[str, Any], num_rays: int, tile: int):
     """Pad ray-axis fields to a multiple of `tile` and yield tiles."""
     num_tiles = (num_rays + tile - 1) // tile

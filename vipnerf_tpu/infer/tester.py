@@ -45,9 +45,28 @@ class NerfTester:
         self.model_configs = model_configs
         self.params = None
 
+        # Beyond-reference: `test_configs['preview']` renders coarse-only
+        # (~4x fewer MLP FLOPs per frame) with the SAME trained params; an
+        # integer value additionally overrides the coarse sample count. The
+        # preprocessor shares the preview configs so inference outputs are
+        # retrieved from the coarse pass.
+        render_configs = train_configs
+        preview = test_configs.get("preview")
+        if preview:
+            from vipnerf_tpu.infer.renderer import preview_configs
+
+            num_samples = (
+                preview
+                if isinstance(preview, int) and not isinstance(preview, bool)
+                else None
+            )
+            render_configs = preview_configs(train_configs, num_samples)
+
         self.data_preprocessor = get_data_preprocessor(
-            train_configs, mode="test", model_configs=model_configs
+            render_configs, mode="test", model_configs=model_configs
         )
+        # params are built from the FULL train configs — a preview must load
+        # the trained checkpoint (coarse+fine) unchanged
         init_fn, self.render_fn = get_model(train_configs)
         import jax
 
@@ -66,7 +85,7 @@ class NerfTester:
             from vipnerf_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(devices)
-        self.renderer = TiledRenderer(self.render_fn, train_configs, mesh=mesh)
+        self.renderer = TiledRenderer(self.render_fn, render_configs, mesh=mesh)
         # Measured render optimum on v5e: small tiles pipeline better after
         # the gather-free sample_pdf rewrite (BASELINE.md round-2 notes).
         self.chunk_size = test_configs.get("chunk_size", 8192)
