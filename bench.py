@@ -239,6 +239,9 @@ def main():
 
     # ---- coarse-only preview rendering (beyond-reference feature) ----
     preview_fps = None
+    if os.environ.get("BENCH_PREVIEW", "1") == "1" and render_fps is None:
+        print("# preview bench skipped: render bench did not run "
+              "(it provides the test batch)", file=__import__("sys").stderr)
     if os.environ.get("BENCH_PREVIEW", "1") == "1" and render_fps is not None:
         try:
             from vipnerf_tpu.infer.renderer import TiledRenderer, preview_configs

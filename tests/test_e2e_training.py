@@ -347,7 +347,13 @@ class TestEndToEnd:
     def test_preview_mode_testing(self, synth_root):
         """Beyond-reference: `test_configs['preview']` renders coarse-only
         through the product Tester with the trained coarse+fine checkpoint;
-        preview frames must stay close to the full renders."""
+        preview frames must stay close to the full renders.
+
+        Like the other methods of this class, depends on test_full_pipeline
+        having produced train0001 + test0001 (the class runs in definition
+        order). Model_Latest is at iter 1260 after the resume tests while
+        test0001 frames were rendered at iter 1200 — the PSNR bar absorbs
+        that drift."""
         from vipnerf_tpu.infer import start_testing
         from vipnerf_tpu.utils.io import read_image
 
@@ -383,8 +389,11 @@ class TestEndToEnd:
             }
         }
         start_testing(test_configs, scenes_data)
+        # preview output goes to its own scene dir ({scene}_preview) so
+        # skip-if-exists never mixes coarse-only and full frames
         prev_path = (
-            synth_root / "runs/testing/test0009/synth01/predicted_frames/0001.png"
+            synth_root
+            / "runs/testing/test0009/synth01_preview/predicted_frames/0001.png"
         )
         full_path = (
             synth_root / "runs/testing/test0001/synth01/predicted_frames/0001.png"

@@ -206,6 +206,10 @@ def start_testing(
     """
     root_dirpath = Path(test_configs.get("root_dirpath", "."))
     output_dirpath = root_dirpath / f"runs/testing/test{test_configs['test_num']:04}"
+    # Preview renders go to their own scene dirs — skip-if-exists must never
+    # mix coarse-only frames into a full render tree (or vice versa).
+    if test_configs.get("preview"):
+        output_dir_suffix = f"{output_dir_suffix}_preview"
 
     train_num = test_configs["train_num"]
     model_name = test_configs["model_name"]

@@ -72,7 +72,11 @@ def latest_checkpoint(save_dir: Path) -> Optional[Path]:
     latest = Path(save_dir) / "Model_Latest.ckpt"
     if latest.exists():
         return latest
-    candidates = sorted(Path(save_dir).glob("Model_Iter*.ckpt"))
+    # numeric sort: lexicographic order breaks past 999999 iterations
+    candidates = sorted(
+        Path(save_dir).glob("Model_Iter*.ckpt"),
+        key=lambda p: int(p.stem.replace("Model_Iter", "")),
+    )
     return candidates[-1] if candidates else None
 
 

@@ -72,10 +72,16 @@ def _assign(tree: Dict, path: Tuple, value) -> None:
 
 
 def _listify(node):
-    """Convert {0: .., 1: ..} int-keyed dicts into lists (ModuleList)."""
+    """Convert {0: .., 1: ..} int-keyed dicts into lists (ModuleList).
+
+    Gaps (an index Adam never touched, e.g. a frozen layer) become empty
+    dicts, which `_overlay` leaves at the template's zero moments."""
     if isinstance(node, dict):
         if node and all(isinstance(k, int) for k in node):
-            return [_listify(node[i]) for i in range(len(node))]
+            return [
+                _listify(node[i]) if i in node else {}
+                for i in range(max(node) + 1)
+            ]
         return {k: _listify(v) for k, v in node.items()}
     return node
 
@@ -125,10 +131,20 @@ def convert_adam_moments(
 
 
 def _overlay(template, patch):
-    """Fill `template` (zeros from tx.init) with `patch` values where given."""
-    if patch is None:
+    """Fill `template` (zeros from tx.init) with `patch` values where given.
+
+    Leaf shapes must match the template — a moment tensor from a mismatched
+    optimizer_state_dict fails loudly here instead of surfacing later as a
+    cryptic jit error at resume time."""
+    if patch is None or (isinstance(patch, dict) and not patch
+                         and not isinstance(template, dict)):
         return template
     if isinstance(template, dict):
+        if not isinstance(patch, dict):
+            raise ValueError(
+                f"optimizer-state structure mismatch: expected mapping for "
+                f"{sorted(template)}, got {type(patch).__name__}"
+            )
         return {k: _overlay(v, patch.get(k)) for k, v in template.items()}
     if isinstance(template, list):
         patch = patch or []
@@ -136,7 +152,13 @@ def _overlay(template, patch):
             _overlay(v, patch[i] if i < len(patch) else None)
             for i, v in enumerate(template)
         ]
-    return np.asarray(patch, dtype=np.float32)
+    arr = np.asarray(patch, dtype=np.float32)
+    if hasattr(template, "shape") and arr.shape != tuple(template.shape):
+        raise ValueError(
+            f"optimizer-state shape mismatch: moment {arr.shape} vs "
+            f"parameter {tuple(template.shape)}"
+        )
+    return arr
 
 
 def build_opt_state(tx, params, mu, nu, step: int):
@@ -175,6 +197,8 @@ def convert_checkpoint(
     configs: Dict[str, Any],
     output_dir: Optional[Path] = None,
     params_only: bool = False,
+    _template=None,
+    _tx=None,
 ) -> Path:
     """Convert one reference .tar -> Model_Iter{NNNNNN:06}.ckpt (+ Latest).
 
@@ -184,6 +208,8 @@ def convert_checkpoint(
     mismatched Configs.json fails loudly instead of producing an unloadable
     checkpoint. With ``params_only`` the optimizer restarts fresh (enough
     for testing/videos; training resumes with reset moments).
+    `_template`/`_tx` let convert_run reuse the (config-identical) init
+    template and optimizer across a directory of checkpoints.
     """
     import torch
 
@@ -199,8 +225,10 @@ def convert_checkpoint(
     model_sd = ckpt["model_state_dict"]
     params = convert_model_state(model_sd)
 
-    init_fn, _ = get_model(configs)
-    template = init_fn(jax.random.PRNGKey(0), configs)
+    if _template is None:
+        init_fn, _ = get_model(configs)
+        _template = init_fn(jax.random.PRNGKey(0), configs)
+    template = _template
     t_ours = jax.tree_util.tree_structure(template)
     t_conv = jax.tree_util.tree_structure(params)
     if t_ours != t_conv:
@@ -218,7 +246,7 @@ def convert_checkpoint(
                 f"configs {a.shape} vs checkpoint {b.shape}"
             )
 
-    tx = make_optimizer(configs)
+    tx = _tx if _tx is not None else make_optimizer(configs)
     if params_only:
         opt_state = tx.init(params)
     else:
@@ -245,15 +273,30 @@ def convert_run(
     if configs is None:
         configs = _find_configs(path)
     if path.is_dir():
+        # numeric sort: lexicographic order breaks past 999999 iterations
+        # (f'{:06}' does not truncate wider numbers)
         tars = sorted(
-            p for p in path.glob("Model_Iter*.tar") if not p.is_symlink()
+            (p for p in path.glob("Model_Iter*.tar") if not p.is_symlink()),
+            key=lambda p: int(p.stem.replace("Model_Iter", "")),
         )
         if not tars:
             raise FileNotFoundError(f"no Model_Iter*.tar under {path}")
     else:
         tars = [path]
+
+    import jax
+
+    from vipnerf_tpu.models import get_model
+    from vipnerf_tpu.train.step import make_optimizer
+
+    init_fn, _ = get_model(configs)
+    template = init_fn(jax.random.PRNGKey(0), configs)
+    tx = make_optimizer(configs)
     return [
-        convert_checkpoint(t, configs, output_dir, params_only) for t in tars
+        convert_checkpoint(
+            t, configs, output_dir, params_only, _template=template, _tx=tx
+        )
+        for t in tars
     ]
 
 
