@@ -260,6 +260,12 @@ def main():
     parser.add_argument("--resolution_suffix", default="")
     parser.add_argument("--downsampling_factor", type=int, default=1)
     parser.add_argument("--mask_folder_name", default="ObjectMasks")
+    # Accepted for drop-in compatibility with the reference QA CLIs
+    # (qa/02_PSNR/src/PSNR02_NeRF_LLFF.py:192-212 takes
+    # --demo_function_name demo2); this runner always executes the demo2
+    # behavior (score a prediction dir against the database GT).
+    parser.add_argument("--demo_function_name", default="demo2",
+                        choices=["demo2"])
     args = parser.parse_args()
     run_all_qa(
         args.database,
