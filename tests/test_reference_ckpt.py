@@ -160,6 +160,65 @@ def test_convert_directory_and_configs_discovery(tmp_path):
     assert checkpoint_iteration(latest) == 200
 
 
+def test_export_roundtrips_and_reference_loads_it(tmp_path):
+    """our .ckpt -> reference .tar: bitwise roundtrip + the reference's own
+    DataParallel-wrapped load path (Trainer01.py:376, Tester01.py:48)
+    accepts it and can take an optimizer step."""
+    import torch
+
+    from vipnerf_tpu.utils.reference_ckpt import convert_run, export_run
+
+    sys.path.insert(0, (REFERENCE / "src").as_posix())
+    from models.VipNeRF01 import VipNeRF  # noqa: E402
+
+    configs, model, optimizer, tar_path = _make_reference_checkpoint(tmp_path)
+    (ckpt_path,) = convert_run(tar_path, configs)
+    export_dir = tmp_path / "exported"
+    export_dir.mkdir()
+    (exported,) = export_run(ckpt_path, configs, export_dir)
+    assert exported.name == "Model_Iter001200.tar"
+    assert (export_dir / "Model_Latest.tar").resolve() == exported.resolve()
+
+    orig = torch.load(tar_path, map_location="cpu")
+    back = torch.load(exported, map_location="cpu")
+    assert back["iteration_num"] == 1200
+
+    # model weights: same (module.-prefixed) keys, bitwise-equal tensors
+    assert list(back["model_state_dict"]) == list(orig["model_state_dict"])
+    for k, v in orig["model_state_dict"].items():
+        np.testing.assert_array_equal(
+            back["model_state_dict"][k].numpy(), v.numpy(), err_msg=k
+        )
+
+    # Adam state: positional indices line up with parameters() order
+    o_state = orig["optimizer_state_dict"]["state"]
+    b_state = back["optimizer_state_dict"]["state"]
+    assert sorted(b_state) == sorted(o_state)
+    for idx in o_state:
+        for field in ("exp_avg", "exp_avg_sq"):
+            np.testing.assert_array_equal(
+                b_state[idx][field].numpy(), o_state[idx][field].numpy(),
+                err_msg=f"state[{idx}].{field}",
+            )
+        assert float(b_state[idx]["step"]) == float(o_state[idx]["step"])
+
+    # the reference's actual load path: DataParallel wrap + Adam resume
+    torch.manual_seed(1)  # different init, to prove the load overwrites it
+    model2 = torch.nn.DataParallel(VipNeRF(configs, {}))
+    model2.load_state_dict(back["model_state_dict"])
+    np.testing.assert_array_equal(
+        model2.module.coarse_model.pts_linears[0].weight.detach().numpy(),
+        model.coarse_model.pts_linears[0].weight.detach().numpy(),
+    )
+    opt2 = torch.optim.Adam(model2.parameters(), lr=5e-4, betas=(0.9, 0.999))
+    opt2.load_state_dict(back["optimizer_state_dict"])
+    loss = sum((p * p).sum() for p in model2.parameters())
+    loss.backward()
+    opt2.step()  # must not error with the imported moments
+    p0 = next(iter(opt2.state.values()))
+    assert float(p0["step"]) == 1201.0
+
+
 def test_convert_rejects_mismatched_configs(tmp_path):
     from vipnerf_tpu.utils.reference_ckpt import convert_checkpoint
 

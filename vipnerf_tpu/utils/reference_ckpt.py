@@ -25,6 +25,10 @@ and leaves Model_Latest.ckpt pointing at the newest):
     python -m vipnerf_tpu.utils.reference_ckpt \
         runs/training/train0001/scene/saved_models \
         --configs runs/training/train0001/scene/Configs.json
+
+The reverse direction also works (``--to_reference``): export our .ckpt
+files back to reference .tar checkpoints, so models trained here can be
+tested, rendered, or resumed by the original torch codebase.
 """
 
 import argparse
@@ -189,6 +193,188 @@ def build_opt_state(tx, params, mu, nu, step: int):
 
 
 # --------------------------------------------------------------------------
+# reverse direction: our .ckpt -> reference .tar
+# --------------------------------------------------------------------------
+
+def _path_to_torch_key(path: List[Any]) -> str:
+    renames = {v: k for k, v in _MODULE_RENAMES.items()}
+    parts = [str(renames.get(p, p)) for p in path[:-1]]
+    parts.append({"w": "weight", "b": "bias"}[path[-1]])
+    return ".".join(parts)
+
+
+def _flatten_params(tree, prefix=()):
+    """Yield (path, leaf) pairs from a params pytree."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten_params(v, prefix + (k,))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _flatten_params(v, prefix + (i,))
+    else:
+        yield prefix, tree
+
+
+# torch.nn.Module registration order of the reference MLP's submodules
+# (VipNeRF01.py:472-491) — this fixes the positional parameter indices
+# torch.optim.Adam uses in its state dict.
+_TORCH_MODULE_ORDER = {
+    "pts_linears": 0,
+    "views_linears": 1,
+    "pts_output_linear": 2,
+    "feature_linear": 3,
+    "views_output_linear": 4,
+}
+
+
+def _torch_param_rank(path: Tuple) -> Tuple:
+    """Sort key putting flattened (path, leaf) pairs into the reference's
+    ``model.parameters()`` order: coarse before fine (VipNeRF01.py:22-25),
+    submodules in registration order, ModuleList by index, weight before
+    bias (torch.nn.Linear registers weight first)."""
+    model = 0 if path[0] == "coarse" else 1
+    module = _TORCH_MODULE_ORDER.get(path[1], len(_TORCH_MODULE_ORDER))
+    index = path[2] if len(path) > 3 else -1
+    leaf = 0 if path[-1] == "w" else 1
+    return (model, module, index, leaf)
+
+
+def export_checkpoint(
+    ckpt_path: Path,
+    configs: Dict[str, Any],
+    output_path: Optional[Path] = None,
+) -> Path:
+    """Our Model_Iter*.ckpt -> a reference-loadable torch .tar.
+
+    The inverse of convert_checkpoint: weights transpose back to torch
+    Linear (out, in) layout under the reference's module names (with the
+    ``module.`` prefix both reference load paths require — they
+    DataParallel-wrap before load_state_dict, Trainer01.py:517 + :376,
+    Tester01.py:42 + :48), and the optax Adam state fills torch's
+    per-parameter exp_avg/exp_avg_sq/step (positional indices in
+    parameters() order) so the reference can both test AND resume
+    training from it (Trainer01.py:368-381).
+    """
+    import torch
+
+    import flax.serialization
+    import jax
+    import optax
+
+    from vipnerf_tpu.models import get_model
+    from vipnerf_tpu.train.step import make_optimizer
+
+    ckpt_path = Path(ckpt_path)
+    blob = ckpt_path.read_bytes()
+    state = flax.serialization.msgpack_restore(blob)
+    iteration_num = int(state["iteration_num"])
+
+    init_fn, _ = get_model(configs)
+    template = init_fn(jax.random.PRNGKey(0), configs)
+    params = flax.serialization.from_state_dict(
+        template, state["model_state_dict"]
+    )
+    tx = make_optimizer(configs)
+    opt_state = flax.serialization.from_state_dict(
+        tx.init(template), state["optimizer_state_dict"]
+    )
+
+    def leaves_in_order(tree):
+        pairs = sorted(_flatten_params(tree), key=lambda p: _torch_param_rank(p[0]))
+        out = {}
+        for path, leaf in pairs:
+            key = _path_to_torch_key(list(path))
+            arr = np.asarray(leaf, np.float32)
+            out[key] = arr.T.copy() if key.endswith("weight") else arr
+        return out
+
+    param_sd = leaves_in_order(params)
+    # np.array copies: torch.from_numpy refuses to alias read-only views
+    model_sd = {
+        f"module.{k}": torch.from_numpy(np.array(v, dtype=np.float32))
+        for k, v in param_sd.items()
+    }
+
+    is_adam = lambda x: isinstance(x, optax.ScaleByAdamState)  # noqa: E731
+    adam = next(
+        filter(is_adam, jax.tree_util.tree_leaves(opt_state, is_leaf=is_adam)),
+        None,
+    )
+    opt_sd = {"state": {}, "param_groups": []}
+    if adam is not None:
+        mu_sd = leaves_in_order(adam.mu)
+        nu_sd = leaves_in_order(adam.nu)
+        step = float(adam.count)
+        for idx, key in enumerate(param_sd):
+            opt_sd["state"][idx] = {
+                # a fresh tensor per entry: torch.optim.Adam increments
+                # `step` in-place, so sharing one tensor would advance it
+                # once per parameter
+                "step": torch.tensor(step),
+                "exp_avg": torch.from_numpy(
+                    np.array(mu_sd[key], dtype=np.float32)
+                ),
+                "exp_avg_sq": torch.from_numpy(
+                    np.array(nu_sd[key], dtype=np.float32)
+                ),
+            }
+        opt_cfg = configs.get("optimizer", {})
+        opt_sd["param_groups"] = [{
+            "lr": float(opt_cfg.get("lr_initial", 5e-4)),
+            "betas": (opt_cfg.get("beta1", 0.9), opt_cfg.get("beta2", 0.999)),
+            "eps": 1e-8, "weight_decay": 0, "amsgrad": False,
+            "maximize": False, "foreach": None, "capturable": False,
+            "differentiable": False, "fused": None,
+            "params": list(range(len(model_sd))),
+        }]
+
+    if output_path is None:
+        output_path = ckpt_path.resolve().with_suffix(".tar")
+    torch.save(
+        {
+            "iteration_num": iteration_num,
+            "model_state_dict": model_sd,
+            "optimizer_state_dict": opt_sd,
+        },
+        output_path,
+    )
+    return Path(output_path)
+
+
+def export_run(
+    path: Path,
+    configs: Optional[Dict[str, Any]] = None,
+    output_dir: Optional[Path] = None,
+) -> List[Path]:
+    """Export a single .ckpt, or every Model_Iter*.ckpt in a saved_models
+    dir, to reference .tar files (Model_Latest.tar symlink on the newest)."""
+    path = Path(path)
+    if configs is None:
+        configs = _find_configs(path)
+    if path.is_dir():
+        ckpts = sorted(
+            (p for p in path.glob("Model_Iter*.ckpt") if not p.is_symlink()),
+            key=lambda p: int(p.stem.replace("Model_Iter", "")),
+        )
+        if not ckpts:
+            raise FileNotFoundError(f"no Model_Iter*.ckpt under {path}")
+    else:
+        ckpts = [path]
+    written = []
+    for c in ckpts:
+        out = None
+        if output_dir is not None:
+            out = Path(output_dir) / c.resolve().with_suffix(".tar").name
+        written.append(export_checkpoint(c, configs, out))
+    if len(written) >= 1 and written[-1].parent == written[0].parent:
+        latest = written[-1].parent / "Model_Latest.tar"
+        if latest.is_symlink() or latest.exists():
+            latest.unlink()
+        latest.symlink_to(written[-1].name)
+    return written
+
+
+# --------------------------------------------------------------------------
 # checkpoint conversion
 # --------------------------------------------------------------------------
 
@@ -348,16 +534,23 @@ def main():
         action="store_true",
         help="skip optimizer-state conversion (fresh Adam moments)",
     )
+    parser.add_argument(
+        "--to_reference",
+        action="store_true",
+        help="reverse direction: export our .ckpt file(s) to reference "
+        ".tar checkpoints the torch codebase can test and resume from",
+    )
     args = parser.parse_args()
     configs = (
         json.loads(Path(args.configs).read_text()) if args.configs else None
     )
-    written = convert_run(
-        args.path,
-        configs,
-        Path(args.output_dir) if args.output_dir else None,
-        params_only=args.params_only,
-    )
+    output_dir = Path(args.output_dir) if args.output_dir else None
+    if args.to_reference:
+        written = export_run(args.path, configs, output_dir)
+    else:
+        written = convert_run(
+            args.path, configs, output_dir, params_only=args.params_only
+        )
     for p in written:
         print(p)
 
