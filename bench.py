@@ -15,14 +15,50 @@ Env knobs: BENCH_BF16=0 to disable bf16 matmuls, BENCH_STEPS, BENCH_REMAT=1.
 
 import json
 import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
 
+def _wait_for_tpu():
+    """Block until the axon TPU tunnel answers, or fall back to CPU.
+
+    The tunnel goes down for hours at a time (observed 2026-08-17); a bare
+    ``jax.devices()`` then hangs forever, which would swallow the whole
+    bench run. Probe in a subprocess with a timeout, retry for
+    BENCH_TPU_WAIT_S (default 30 min), then run on CPU with the fallback
+    recorded in the output rather than report nothing at all.
+
+    Returns (backend, reason): ("tpu", "") on a live tunnel;
+    ("cpu", "requested") when the caller pinned JAX_PLATFORMS=cpu
+    deliberately (no tunnel claim is made); ("cpu", "tpu_tunnel_down")
+    after the wait expires.
+    """
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return "cpu", "requested"
+    from vipnerf_tpu.utils.device import backend_probe_alive
+
+    deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
+    while True:
+        if backend_probe_alive():
+            return "tpu", ""
+        if time.time() > deadline:
+            print("# TPU tunnel unreachable for BENCH_TPU_WAIT_S; "
+                  "falling back to CPU", file=sys.stderr)
+            return "cpu", "tpu_tunnel_down"
+        print("# TPU tunnel down; retrying in 120s", file=sys.stderr)
+        time.sleep(120)
+
+
+_BACKEND, _CPU_REASON = _wait_for_tpu()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+if _BACKEND == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/vipnerf_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-import numpy as np
+import numpy as np  # noqa: E402
 
 
 def main():
@@ -43,7 +79,7 @@ def main():
     # saving ~10 activation tensors to HBM (measured 77 -> 60 ms/step).
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
     netchunk_map = int(os.environ.get("BENCH_NCMAP", "16384"))
-    k_steps = int(os.environ.get("BENCH_STEPS", "50"))
+    k_steps = int(os.environ.get("BENCH_STEPS", "50" if _BACKEND == "tpu" else "2"))
     num_rays = 2048
     num_rays_sd = 2048
 
@@ -183,10 +219,10 @@ def main():
             scan_train = make_scan_train(configs, prep.gather_batch, train_step)
         params, opt_state, compile_time = warmup(params, opt_state, scan_train)
 
-    # Timed runs
+    # Timed runs (one is enough for the CPU fallback's order-of-magnitude)
     times = []
     it = k_steps
-    for _ in range(3):
+    for _ in range(3 if _BACKEND == "tpu" else 1):
         nerf_idx, sd_idx = prep.get_index_chunk(it, k_steps)
         nerf_idx = jnp.asarray(nerf_idx)
         sd_idx = jnp.asarray(sd_idx)
@@ -207,7 +243,7 @@ def main():
     # Full-image inference through the single-dispatch TiledRenderer path
     # (reference chunked eval: /root/reference/src/Tester01.py:57-66).
     render_fps = render_rays_s = None
-    if os.environ.get("BENCH_RENDER", "1") == "1":
+    if os.environ.get("BENCH_RENDER", "1" if _BACKEND == "tpu" else "0") == "1":
         try:
             from vipnerf_tpu.infer.renderer import TiledRenderer
 
@@ -267,6 +303,14 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(value / 5e6, 4),
     }
+    if _BACKEND == "cpu":
+        # never mistake a CPU number for a TPU regression — and never claim
+        # the tunnel was down when the caller pinned JAX_PLATFORMS=cpu
+        result["metric"] = (
+            "train_rays_per_sec_CPU_FALLBACK_tpu_tunnel_down"
+            if _CPU_REASON == "tpu_tunnel_down"
+            else "train_rays_per_sec_CPU"
+        )
     if render_fps is not None:
         result["render_fps_1008x756"] = round(render_fps, 4)
         result["render_rays_per_sec"] = round(render_rays_s, 1)
@@ -296,6 +340,8 @@ def main():
         f"step={best / k_steps * 1e3:.2f}ms total_loss={float(scalars['TotalLoss'][-1]):.4f}",
         file=sys.stderr,
     )
+    if _BACKEND != "tpu":
+        return
     print(
         "# step breakdown (K-fold isolation, BASELINE.md round-3): "
         "MLP fwd 14.0ms / fwd+bwd 46.3ms (HBM-roofline-bound: intensity "

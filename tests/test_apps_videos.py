@@ -159,3 +159,33 @@ class TestVideoRendering:
         assert (out / "StaticCameraVideo.mp4").exists() or (
             out / "StaticCameraVideo_frames"
         ).exists()
+
+    def test_preview_video_assembles_from_preview_dirs(self, app_env):
+        """Preview renders land in {scene}_video01_preview — the video
+        assembly must resolve the tester's effective suffix (regression:
+        it used to look in the un-suffixed dir and silently skip)."""
+        root, app = app_env
+        cfg = _test_configs(root)
+        cfg["test_num"] = 4
+        cfg["preview"] = True
+        app.start_testing_videos(cfg)
+        out = root / "runs/testing/test0004/synth01_video01_preview"
+        for f in range(3):
+            assert (out / f"predicted_frames/{f:04}.png").exists()
+        assert (out / "PredictedVideo.mp4").exists() or (
+            out / "PredictedVideo_frames"
+        ).exists()
+
+    def test_preview_testing_skips_qa(self, app_env, capsys):
+        """Preview frames live in {scene}_preview dirs QA can't score —
+        start_testing must say so instead of silently scoring nothing."""
+        root, app = app_env
+        cfg = _test_configs(root)
+        cfg["test_num"] = 5
+        cfg["preview"] = True
+        out = app.start_testing(cfg, run_qa=True)
+        assert (
+            out / "synth01_preview/predicted_frames/0002.png"
+        ).exists()
+        assert "Skipping QA for preview renders" in capsys.readouterr().out
+        assert not (out / "QA_Scores.json").exists()

@@ -219,6 +219,31 @@ def test_export_roundtrips_and_reference_loads_it(tmp_path):
     assert float(p0["step"]) == 1201.0
 
 
+def test_single_file_conversion_never_rolls_latest_back(tmp_path):
+    """Converting/exporting ONE older checkpoint into a dir that already
+    has a newer one must not retarget the Latest pointer backwards."""
+    from vipnerf_tpu.train.checkpoints import (
+        checkpoint_iteration,
+        latest_checkpoint,
+    )
+    from vipnerf_tpu.utils.reference_ckpt import convert_run, export_run
+
+    configs, _, _, tar1 = _make_reference_checkpoint(
+        tmp_path, iteration=100, dp_prefix=False
+    )
+    _, _, _, tar2 = _make_reference_checkpoint(tmp_path, iteration=200)
+    save_dir = tar1.parent
+
+    convert_run(tar2, configs)  # Latest -> 200
+    convert_run(tar1, configs)  # older single-file convert
+    assert checkpoint_iteration(latest_checkpoint(save_dir)) == 200
+
+    export_run(save_dir / "Model_Iter000200.ckpt", configs)
+    export_run(save_dir / "Model_Iter000100.ckpt", configs)
+    latest_tar = save_dir / "Model_Latest.tar"
+    assert latest_tar.resolve().name == "Model_Iter000200.tar"
+
+
 def test_convert_rejects_mismatched_configs(tmp_path):
     from vipnerf_tpu.utils.reference_ckpt import convert_checkpoint
 

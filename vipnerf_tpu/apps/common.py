@@ -140,7 +140,13 @@ class DatasetApp:
         )
 
         if run_qa:
-            self.run_qa(test_configs, output_dirpath)
+            if test_configs.get("preview"):
+                # preview frames live in {scene}_preview dirs the QA scene
+                # iteration (keyed by database scene names) would not find;
+                # coarse-only renders are a quick look, not a benchmark
+                print("Skipping QA for preview renders.")
+            else:
+                self.run_qa(test_configs, output_dirpath)
         return output_dirpath
 
     def run_qa(self, test_configs: Dict[str, Any], output_dirpath: Path):
@@ -231,7 +237,12 @@ class DatasetApp:
                 }
                 suffix = suffix_template.format(video_num=video_num)
                 out = tester_mod.start_testing(test_configs, scenes_data, suffix)
-                scene_out = out / f"{scene_dir}{suffix}"
+                # the tester may extend the suffix (preview mode) — resolve
+                # the scene dir the same way it does
+                eff_suffix = tester_mod.effective_output_suffix(
+                    test_configs, suffix
+                )
+                scene_out = out / f"{scene_dir}{eff_suffix}"
                 if not scene_out.exists():
                     continue
                 frames = np.stack(

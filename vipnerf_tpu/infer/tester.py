@@ -190,6 +190,19 @@ def save_test_configs(
         simplejson.dump(configs, f, indent=4, default=str)
 
 
+def effective_output_suffix(
+    test_configs: Dict[str, Any], output_dir_suffix: str = ""
+) -> str:
+    """Scene-dir suffix actually used by start_testing. Preview renders go
+    to their own scene dirs (`{scene}{suffix}_preview`) — skip-if-exists
+    must never mix coarse-only frames into a full render tree (or vice
+    versa). Callers that compute output paths (video assembly, QA) must use
+    this same function."""
+    if test_configs.get("preview"):
+        return f"{output_dir_suffix}_preview"
+    return output_dir_suffix
+
+
 def start_testing(
     test_configs: Dict[str, Any],
     scenes_data: Dict[str, Any],
@@ -206,10 +219,7 @@ def start_testing(
     """
     root_dirpath = Path(test_configs.get("root_dirpath", "."))
     output_dirpath = root_dirpath / f"runs/testing/test{test_configs['test_num']:04}"
-    # Preview renders go to their own scene dirs — skip-if-exists must never
-    # mix coarse-only frames into a full render tree (or vice versa).
-    if test_configs.get("preview"):
-        output_dir_suffix = f"{output_dir_suffix}_preview"
+    output_dir_suffix = effective_output_suffix(test_configs, output_dir_suffix)
 
     train_num = test_configs["train_num"]
     model_name = test_configs["model_name"]

@@ -46,11 +46,24 @@ def save_checkpoint(
     tmp.write_bytes(blob)
     os.replace(tmp, path)
 
-    latest = save_dir / "Model_Latest.ckpt"
-    if latest.is_symlink() or latest.exists():
-        latest.unlink()
-    latest.symlink_to(path.name)  # relative symlink (reference :361-365)
+    update_latest_symlink(save_dir, path)
     return path
+
+
+def update_latest_symlink(save_dir: Path, path: Path) -> None:
+    """Point Model_Latest.ckpt at `path` — unless it already points at a
+    NEWER iteration (converting/saving an older checkpoint into a dir, e.g.
+    `reference_ckpt` single-file mode, must not silently roll Latest back).
+    Relative symlink as in the reference (Trainer01.py:361-365)."""
+    latest = Path(save_dir) / "Model_Latest.ckpt"
+    if latest.is_symlink() or latest.exists():
+        try:
+            if checkpoint_iteration(latest) > checkpoint_iteration(path):
+                return
+        except (ValueError, OSError):
+            pass  # unparseable/broken Latest: replace it
+        latest.unlink()
+    latest.symlink_to(Path(path).name)
 
 
 def load_checkpoint(

@@ -340,10 +340,17 @@ class MultiSceneTrainer:
                             )
                         logger.add_scalar("train/lr", lr, step_j)
             it += k
+            # Checkpoint BEFORE validation, and also at the final iteration
+            # even off-boundary — the same crash-safety ordering as the
+            # sequential Trainer (a validation failure must never lose a
+            # save-interval of training; a num_iterations not divisible by
+            # the interval must not end untrained-on-disk).
+            if can_persist and model_save_interval and (
+                it % model_save_interval == 0 or it == num_iterations
+            ):
+                self.save_checkpoints(self.output_dirpath, it)
             if can_persist and validation_interval and it % validation_interval == 0:
                 self.run_validation(it - 1)
-            if can_persist and model_save_interval and it % model_save_interval == 0:
-                self.save_checkpoints(self.output_dirpath, it)
         if loggers is not None:
             for logger in loggers:
                 logger.flush()

@@ -141,16 +141,15 @@ class Trainer:
 
         # Resume catch-up: checkpoints are written BEFORE validation (crash
         # safety), so an interruption during a boundary's validation leaves
-        # a checkpoint whose validation artifacts are missing. Re-run that
-        # boundary's validation here instead of silently skipping it.
+        # a checkpoint whose validation artifacts are missing or partial.
+        # Re-run that boundary's validation unless EVERY expected frame
+        # (train_images AND val_images passes both write into samples/,
+        # distinguished only by frame number) is already on disk — a crash
+        # between the two passes must not orphan the val_images half.
         if (
             start_iter > 0
             and start_iter % validation_interval == 0
-            and not list(
-                (sample_images_dirpath / "predicted_frames").glob(
-                    f"*_Iter{start_iter:05}.png"
-                )
-            )
+            and not self._validation_complete(start_iter, sample_images_dirpath)
         ):
             self._boundary_validation(start_iter, sample_images_dirpath)
 
@@ -250,6 +249,26 @@ class Trainer:
                 self._boundary_validation(it, sample_images_dirpath)
 
         self.logger.flush()
+
+    def _validation_complete(
+        self, it: int, sample_images_dirpath: Path
+    ) -> bool:
+        """True iff the iteration-`it` boundary validation left every
+        expected frame render (coarse always; fine when the model has a
+        fine MLP) for both the train and val preprocessors."""
+        frames_dir = sample_images_dirpath / "predicted_frames"
+        modes = ["coarse"]
+        if self.configs["model"].get("fine_mlp"):
+            modes.append("fine")
+        for prep in (
+            self.train_data_preprocessor, self.val_data_preprocessor
+        ):
+            for frame_num in prep.frame_nums:
+                for mode in modes:
+                    name = f"{int(frame_num):04}_{mode}_Iter{it:05}.png"
+                    if not (frames_dir / name).exists():
+                        return False
+        return True
 
     def _boundary_validation(self, it: int, sample_images_dirpath: Path):
         for tag, prep in (

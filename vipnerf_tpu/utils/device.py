@@ -11,6 +11,34 @@ from typing import Any, Optional, Sequence
 import jax
 
 
+def backend_probe_alive(timeout: float = 90.0) -> bool:
+    """True if jax backend init would not hang in this process.
+
+    The tunneled axon TPU backend goes down for hours at a time; a bare
+    ``jax.devices()`` then blocks forever. Probe init in a subprocess with
+    a timeout so top-level tools (bench.py, __graft_entry__) can fall back
+    to CPU instead of hanging. Returns True immediately when a backend is
+    already initialized in-process (can't hang) or the process is pinned
+    to the CPU platform.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if jax._src.xla_bridge._backends:  # already initialized -> safe
+        return True
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def get_device(device_config: Optional[Sequence[int]] = None) -> jax.Device:
     """First configured device (the reference returns cuda:{id0} or cpu)."""
     devices = jax.devices()

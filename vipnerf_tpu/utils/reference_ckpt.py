@@ -368,9 +368,19 @@ def export_run(
         written.append(export_checkpoint(c, configs, out))
     if len(written) >= 1 and written[-1].parent == written[0].parent:
         latest = written[-1].parent / "Model_Latest.tar"
+        new_it = int(written[-1].stem.replace("Model_Iter", ""))
+        cur_it = -1
         if latest.is_symlink() or latest.exists():
-            latest.unlink()
-        latest.symlink_to(written[-1].name)
+            try:
+                cur_it = int(latest.resolve().stem.replace("Model_Iter", ""))
+            except (ValueError, OSError):
+                pass  # unparseable target: replace
+        if new_it >= cur_it:
+            # never roll Latest back to an older iteration (single-file mode
+            # in a dir that already has newer exports)
+            if latest.is_symlink() or latest.exists():
+                latest.unlink()
+            latest.symlink_to(written[-1].name)
     return written
 
 
