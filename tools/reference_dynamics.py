@@ -34,6 +34,15 @@ import time
 import types
 from pathlib import Path
 
+if __name__ != "__main__":
+    # The whole file is a straight-line measurement script (it starts a
+    # multi-minute torch training run); importing it as a module would
+    # execute that immediately. Run it directly instead.
+    raise ImportError(
+        "tools/reference_dynamics.py is a script, not an importable module; "
+        "run `python tools/reference_dynamics.py --help`"
+    )
+
 # ---------------- shims for missing packages ----------------
 import numpy as np
 import imageio.v2 as imageio
