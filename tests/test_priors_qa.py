@@ -121,9 +121,12 @@ class TestColmapIO:
             fh.write(struct.pack("<idddddddi", 7, 1.0, 0.0, 0.0, 0.0,
                                  0.5, -0.5, 2.0, 1))
             fh.write(b"0001.png\x00")
+            # COLMAP's 2D-point record is x(double), y(double), id(INT64)
+            # ('ddq', reference colmap_read_model.py:191-192) — a regression
+            # here once encoded 'ddd' and masked a reader mis-parse
             fh.write(struct.pack("<Q", 2))
-            fh.write(struct.pack("<ddd", 10.0, 20.0, float(55)))
-            fh.write(struct.pack("<ddd", 30.0, 40.0, float(-1)))
+            fh.write(struct.pack("<ddq", 10.0, 20.0, 55))
+            fh.write(struct.pack("<ddq", 30.0, 40.0, -1))
         ims = colmap_io.read_images_binary(tmp_path / "images.bin")
         im = ims[7]
         assert im.name == "0001.png"

@@ -210,10 +210,7 @@ def create_video_poses(
     extrinsics directly consumable by the tester."""
     avg_pose = compute_average_pose(w2c_mats.copy())
 
-    # to NeRF convention c2w
-    c2w = np.linalg.inv(w2c_mats)
-    recentered = np.linalg.inv(avg_pose)[None] @ w2c_mats  # not used directly
-    del recentered
+    # to recentered NeRF-convention c2w
     flip = np.diag([1.0, -1.0, -1.0])
     c2w_nerf = change_coordinate_system(
         avg_pose[None] @ np.linalg.inv(w2c_mats), flip

@@ -136,9 +136,16 @@ def read_images_binary(path) -> Dict[int, ColmapImage]:
                     break
                 name += c
             (n_pts,) = _read(fh, "<Q")
-            data = np.array(_read(fh, f"<{3 * n_pts}d")).reshape(n_pts, 3)
-            xys = data[:, :2]
-            ids = data[:, 2].astype(np.int64)
+            # per-point layout is x(double), y(double), point3D_id(INT64) —
+            # 'ddq', not 'ddd' (reference colmap_read_model.py:191-192);
+            # decoding the id as a double reinterprets its bits (-1 -> NaN)
+            data = np.frombuffer(
+                fh.read(24 * n_pts),
+                dtype=np.dtype([("x", "<f8"), ("y", "<f8"), ("id", "<i8")]),
+                count=n_pts,
+            )
+            xys = np.stack([data["x"], data["y"]], axis=1)
+            ids = data["id"].astype(np.int64)
             images[image_id] = ColmapImage(
                 image_id,
                 np.array([qw, qx, qy, qz]),

@@ -29,7 +29,7 @@ import simplejson
 
 from vipnerf_tpu.qa import metrics
 from vipnerf_tpu.utils.naming import scene_dirname
-from vipnerf_tpu.qa.grouper import get_grouped_qa_scores
+from vipnerf_tpu.qa.grouper import group_qa_dir
 from vipnerf_tpu.utils.io import read_image, read_mask, rescale_image
 
 _DATASET_SUFFIX = {"RealEstate10K": "01", "NeRF_LLFF": "02", "DTU": "05"}
@@ -241,11 +241,7 @@ def run_all_qa(
     # Scene-wise grouping (SceneWiseGrouper)
     qa_dirpath = Path(pred_videos_dirpath) / "QA_Scores"
     if qa_dirpath.exists():
-        for pred_dirpath in sorted(qa_dirpath.iterdir()):
-            for qa_filepath in sorted(pred_dirpath.glob("*_FrameWise.csv")):
-                grouped = get_grouped_qa_scores(pd.read_csv(qa_filepath))
-                out = qa_filepath.parent / f"{qa_filepath.stem[:-9]}SceneWise.csv"
-                grouped.to_csv(out, index=False)
+        group_qa_dir(qa_dirpath)
     return results
 
 
