@@ -338,3 +338,82 @@ class TestUncachedBatching:
         )
         rgb_key = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
         assert np.isfinite(np.asarray(out[rgb_key])).all()
+
+
+class TestPreprocessorEdgeFixes:
+    """Regressions from the round-3 core-module review: sparse-depth
+    scatter under downsampling, precrop resume, epoch-wrap aliasing, and
+    mip-NeRF half-pixel alignment at inference."""
+
+    def _prep(self, root, **dl_overrides):
+        from vipnerf_tpu.data import get_data_loader, get_data_preprocessor
+
+        configs = _llff_config(root, **dl_overrides)
+        loader = get_data_loader(
+            configs, root / "data/databases/NeRF_LLFF/data", mode="train"
+        )
+        return get_data_preprocessor(
+            configs, mode="train", raw_data_dict=loader.load_data()
+        )
+
+    def test_downsampled_sparse_depth_edge_feature(self, llff_db):
+        """A COLMAP feature near the image edge must not index out of the
+        downsampled grid (x=31.9 at factor 2 rounds to 16 == w)."""
+        sd_csv = (
+            llff_db / "data/databases/NeRF_LLFF/data/all/estimated_depths"
+            "/DE02/synth01/estimated_depths/0000.csv"
+        )
+        original = sd_csv.read_text()
+        try:
+            sd_csv.write_text(original + "31.9,23.9,3.0,0.5\n")
+            prep = self._prep(llff_db, downsampling_factor=2)
+            assert tuple(prep.resolution) == (12, 16)
+            assert prep._indices_sd.size > 0  # cache built, no IndexError
+        finally:
+            sd_csv.write_text(original)
+
+    def test_precrop_resume_past_boundary_lifts_crop(self, llff_db):
+        """A run resumed PAST precrop_iterations must escape the center
+        crop (the numpy fallback previously checked == only)."""
+        prep = self._prep(
+            llff_db, precrop_fraction=0.5, precrop_iterations=4, num_rays=16
+        )
+        prep._native_nerf = None  # force the numpy fallback path
+        n_full = prep.num_frames * prep.resolution[0] * prep.resolution[1]
+        assert prep._indices.size < n_full  # starts cropped
+        prep._next_nerf_indices(6)  # resumed past the boundary
+        assert prep._indices.size == n_full
+
+    def test_epoch_wrap_serves_old_tail(self, llff_db):
+        """The epoch-tail batch must contain the OLD permutation's leftover
+        indices; the slice used to alias the reshuffled array."""
+        prep = self._prep(llff_db)
+        prep._native_nerf = None
+        prep._indices = np.arange(100, 110)
+        prep._i_batch = 8
+        prep.num_rays = 4
+        tail = prep._indices[8:].copy()
+        out = prep._next_nerf_indices(0)
+        np.testing.assert_array_equal(out[:2], tail)
+        assert out.size == 4
+
+    def test_mip_nerf_test_rays_match_training_cache(self, llff_db):
+        """mip-NeRF's half-pixel ray centers must apply at inference too:
+        create_test_data rays for a training pose == the training cache."""
+        prep = self._prep(llff_db, mip_nerf={})
+        assert prep.mip_nerf_used
+        h, w = prep.resolution
+        pose = np.asarray(prep.poses[0])
+        pose44 = np.eye(4, dtype=np.float32)
+        pose44[: pose.shape[0]] = pose
+        batch = prep.create_test_data(pose44, preprocess_pose=False)
+        np.testing.assert_allclose(
+            np.asarray(batch["rays_d"]),
+            np.asarray(prep.cache["rays_d"][: h * w]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch["radii"]),
+            np.asarray(prep.cache["radii"][: h * w]),
+            atol=1e-7,
+        )

@@ -233,19 +233,25 @@ class DataPreprocessor:
             images = images[..., :3]
         return images
 
+    def _ray_intrinsic(self, intr: np.ndarray) -> np.ndarray:
+        """Intrinsic actually used for ray generation. mip-NeRF uses
+        half-pixel ray centers (reference :341-343) — equivalently a -0.5
+        principal-point shift — and it must apply on EVERY ray-generation
+        path (training cache, create_test_data, uncached batch), or test
+        rays would be half a pixel off the geometry the model trained on."""
+        if not self.mip_nerf_used:
+            return np.asarray(intr)
+        intr = np.asarray(intr).copy()
+        intr[..., 0, 2] -= 0.5
+        intr[..., 1, 2] -= 0.5
+        return intr
+
     def _build_ray_cache(self):
         """Vectorized replacement for the reference per-image loop (:276-333)."""
         h, w = self.resolution
         n = self.num_frames
 
-        intrinsics = self.intrinsics
-        if self.mip_nerf_used:
-            # mip-NeRF uses half-pixel ray centers (reference :341-343);
-            # shifting the principal point by -0.5 is equivalent to adding
-            # 0.5 to the pixel grid.
-            intrinsics = intrinsics.copy()
-            intrinsics[:, 0, 2] -= 0.5
-            intrinsics[:, 1, 2] -= 0.5
+        intrinsics = self._ray_intrinsic(self.intrinsics)
         get_rays_batched = jax.vmap(
             lambda intr, pose: ray_ops.get_rays(h, w, intr, pose)
         )
@@ -315,8 +321,17 @@ class DataPreprocessor:
                 y = y / self.downsampling_factor
             xi = np.round(x).astype(int)
             yi = np.round(y).astype(int)
-            depths[i, yi, xi] = np.asarray(fd["depth"], np.float64) * self.sc
-            errors[i, yi, xi] = np.asarray(fd["reprojection_error"], np.float64)
+            # Downsampled coords can round onto the grid edge (x=W-0.2 ->
+            # xi==w); drop out-of-bounds features instead of crashing. The
+            # reference never downsamples here (it scatters into the native
+            # grid, :165), so this path is ours alone.
+            keep = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            depths[i, yi[keep], xi[keep]] = (
+                np.asarray(fd["depth"], np.float64) * self.sc
+            )[keep]
+            errors[i, yi[keep], xi[keep]] = np.asarray(
+                fd["reprojection_error"], np.float64
+            )[keep]
 
         flat_depths = depths.reshape(-1, 1)
         flat_errors = errors.reshape(-1, 1)
@@ -435,12 +450,21 @@ class DataPreprocessor:
 
     def _next_nerf_indices(self, iter_num: int) -> np.ndarray:
         dl = self.configs["data_loader"]
-        if iter_num == dl.get("precrop_iterations", -1):
-            # Precrop window ends: regenerate the full stream. (The reference
-            # discards this regeneration — :536-537 — a latent bug.)
+        precrop_end = dl.get("precrop_iterations", -1)
+        n_full = self.num_frames * self.resolution[0] * self.resolution[1]
+        if precrop_end > 0 and iter_num >= precrop_end and (
+            self._indices.size < n_full
+        ):
+            # Precrop window ended: regenerate the full stream. `>=` with a
+            # still-cropped-stream check (not `==`) so a run RESUMED past the
+            # boundary also escapes the crop. (The reference discards this
+            # regeneration entirely — :536-537 — a latent bug.)
             self._indices = self._generate_indices(iter_num)
             self._i_batch = 0
-        out = self._indices[self._i_batch : self._i_batch + self.num_rays]
+        # .copy(): the slice is a view into self._indices, and the epoch
+        # reshuffle below mutates it in place — without the copy, a wrapped
+        # tail batch would silently serve the NEW permutation's window
+        out = self._indices[self._i_batch : self._i_batch + self.num_rays].copy()
         self._i_batch += self.num_rays
         if self._i_batch >= self._indices.size:
             self._rng.shuffle(self._indices)
@@ -451,7 +475,8 @@ class DataPreprocessor:
 
     def _next_sd_indices(self) -> np.ndarray:
         k = self.num_rays_sparse_depth
-        out = self._indices_sd[self._i_batch_sd : self._i_batch_sd + k]
+        # .copy() for the same view-aliasing reason as _next_nerf_indices
+        out = self._indices_sd[self._i_batch_sd : self._i_batch_sd + k].copy()
         self._i_batch_sd += k
         if self._i_batch_sd >= self._indices_sd.size:
             self._rng.shuffle(self._indices_sd)
@@ -627,7 +652,9 @@ class DataPreprocessor:
             img_i = int(np.where(self.frame_nums == image_num)[0].item())
 
         rays_o, rays_d = ray_ops.get_rays(
-            h, w, jnp.asarray(self.intrinsics[img_i]), jnp.asarray(self.poses[img_i])
+            h, w,
+            jnp.asarray(self._ray_intrinsic(self.intrinsics[img_i])),
+            jnp.asarray(self.poses[img_i]),
         )
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
@@ -712,13 +739,17 @@ class DataPreprocessor:
         intrinsic = intrinsic.astype(np.float32)
 
         rays_o, rays_d = ray_ops.get_rays(
-            h, w, jnp.asarray(intrinsic), jnp.asarray(processed_pose)
+            h, w,
+            jnp.asarray(self._ray_intrinsic(intrinsic).astype(np.float32)),
+            jnp.asarray(processed_pose),
         )
         if view_pose is not None:
             processed_view_pose = prep(view_pose.copy())
             vi = np.array(mc["intrinsic"]) if view_intrinsic is None else view_intrinsic
             _, view_rays_d = ray_ops.get_rays(
-                h, w, jnp.asarray(vi.astype(np.float32)), jnp.asarray(processed_view_pose)
+                h, w,
+                jnp.asarray(self._ray_intrinsic(vi).astype(np.float32)),
+                jnp.asarray(processed_view_pose),
             )
             view_dirs = ray_ops.get_view_dirs(view_rays_d)
         else:

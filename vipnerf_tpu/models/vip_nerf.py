@@ -133,20 +133,17 @@ def _run_mlp_on_samples(
         nf_m1 = view_dirs2.shape[2]
         vd2_flat = view_dirs2.reshape(nr * ns, nf_m1, 3)
 
-    def fwd(p, pf, vf, v2f):
-        return apply_mlp(
-            p,
-            mlp_cfg,
-            pf,
-            vf,
-            v2f,
-            raw_noise_std=raw_noise_std,
-            noise_key=noise_key,
-            bf16_matmuls=bf16_matmuls,
-            f32_heads=f32_heads,
+    def fwd(key):
+        # one shared (remat-wrapped) MLP application, parameterized on the
+        # sigma-noise key so the chunked path can fold in a per-chunk key
+        return _remat_wrap(
+            lambda p, pf, vf, v2f: apply_mlp(
+                p, mlp_cfg, pf, vf, v2f,
+                raw_noise_std=raw_noise_std, noise_key=key,
+                bf16_matmuls=bf16_matmuls, f32_heads=f32_heads,
+            ),
+            remat,
         )
-
-    fwd = _remat_wrap(fwd, remat)
 
     if netchunk_map and nr * ns > netchunk_map:
         # On-device point chunking: lax.map over fixed-size chunks. Unlike
@@ -180,15 +177,7 @@ def _run_mlp_on_samples(
                 if noise_key is not None
                 else None
             )
-            inner = _remat_wrap(
-                lambda p, a, b, c: apply_mlp(
-                    p, mlp_cfg, a, b, c,
-                    raw_noise_std=raw_noise_std, noise_key=key,
-                    bf16_matmuls=bf16_matmuls, f32_heads=f32_heads,
-                ),
-                remat,
-            )
-            return inner(mlp_params, pf, vf, v2f)
+            return fwd(key)(mlp_params, pf, vf, v2f)
 
         raw = jax.lax.map(body, xs)
         raw = {
@@ -196,7 +185,7 @@ def _run_mlp_on_samples(
             for k, v in raw.items()
         }
     else:
-        raw = fwd(mlp_params, pts_flat, vd_flat, vd2_flat)
+        raw = fwd(noise_key)(mlp_params, pts_flat, vd_flat, vd2_flat)
     return {
         k: v.reshape((nr, ns) + v.shape[1:]) for k, v in raw.items()
     }
