@@ -358,3 +358,87 @@ class TestPublishedSplitParity:
                 )
                 pub = pd.read_csv(ref / f"set{set_num:02}/{name}VideosData.csv")
                 pd.testing.assert_frame_equal(ours, pub), (set_num, name)
+
+
+class TestRealEstateExtraction:
+    """extract_scene window/stride/resize parity (reference
+    DataExtractor01.py:70-73 window slicing, :120-124 frame resize)."""
+
+    @staticmethod
+    def _write_scene(tmp_path, n=8, fps=10):
+        """Camera file with per-frame-distinct translations + a matching
+        solid-color video (frame i is gray level 30*i, shown at i*100 ms)."""
+        import cv2
+
+        lines = ["https://example.com/video"]
+        for i in range(n):
+            ts = i * 100_000  # microseconds, frame i at fps 10
+            pose = np.hstack([np.eye(3), [[float(i)], [0.0], [0.0]]])
+            vals = [str(ts)] + ["0.5"] * 4 + ["0", "0"] + [
+                f"{v:.6f}" for v in pose.reshape(-1)
+            ]
+            lines.append(" ".join(vals))
+        cam_file = tmp_path / "abc123.txt"
+        cam_file.write_text("\n".join(lines))
+
+        video_path = tmp_path / "abc123.mp4"
+        writer = cv2.VideoWriter(
+            str(video_path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (64, 48)
+        )
+        assert writer.isOpened()
+        for i in range(n):
+            writer.write(np.full((48, 64, 3), 30 * i, np.uint8))
+        writer.release()
+        return cam_file, video_path
+
+    def test_window_stride_and_resize(self, tmp_path):
+        cam_file, video_path = self._write_scene(tmp_path)
+        out = tmp_path / "database_data"
+        re_builder.extract_scene(
+            cam_file, 3, out,
+            num_frames=2, step_size=2, start_timestamp=300_000,
+            resolution=(24, 32), video_path=video_path,
+        )
+        scene_dir = out / "00003"
+        extr = np.loadtxt(
+            scene_dir / "CameraExtrinsics.csv", delimiter=","
+        ).reshape(-1, 4, 4)
+        # window starts at the frame whose timestamp is 300000 us (frame 3)
+        # and strides by 2 -> frames 3 and 5 (tx = frame index)
+        assert extr.shape[0] == 2
+        np.testing.assert_allclose(extr[:, 0, 3], [3.0, 5.0])
+        # intrinsics are computed for the SAVED resolution
+        intr = np.loadtxt(
+            scene_dir / "CameraIntrinsics.csv", delimiter=","
+        ).reshape(-1, 3, 3)
+        np.testing.assert_allclose(intr[:, 0, 0], 0.5 * 32)
+        np.testing.assert_allclose(intr[:, 1, 1], 0.5 * 24)
+        # frames are resized to `resolution`, and come from the window
+        from vipnerf_tpu.utils.io import read_image
+
+        f0 = read_image(scene_dir / "rgb/0000.png")
+        f1 = read_image(scene_dir / "rgb/0001.png")
+        assert f0.shape[:2] == (24, 32)
+        assert abs(float(np.mean(f0)) - 90) < 15   # frame 3
+        assert abs(float(np.mean(f1)) - 150) < 15  # frame 5
+
+    def test_missing_start_timestamp_raises(self, tmp_path):
+        cam_file, _ = self._write_scene(tmp_path, n=4)
+        with pytest.raises(RuntimeError, match="start_timestamp"):
+            re_builder.extract_scene(
+                cam_file, 0, tmp_path / "db", start_timestamp=12345,
+            )
+
+    def test_save_gen_configs_backfill_new_keys(self, tmp_path):
+        """SceneSelector/DataExtractor resume semantics: a config key newly
+        added to the code must not block resume (bidirectional back-fill,
+        SceneSelector01.py:150-165); the prior generators stay strict."""
+        from vipnerf_tpu.priors.visibility import save_gen_configs
+
+        save_gen_configs(tmp_path, {"a": 1})
+        save_gen_configs(tmp_path, {"a": 1, "new_key": 7}, backfill_new_keys=True)
+        with pytest.raises(RuntimeError, match="Configs mismatch"):
+            save_gen_configs(tmp_path, {"a": 1, "other": 0})
+        # a genuinely conflicting value still raises in both modes
+        with pytest.raises(RuntimeError, match="Configs mismatch"):
+            save_gen_configs(tmp_path, {"a": 2}, backfill_new_keys=True)

@@ -105,14 +105,32 @@ def extract_scene(
     output_dirpath: Path,
     *,
     num_frames: int = 50,
+    step_size: int = 1,
+    start_timestamp: Optional[int] = None,
     resolution=(576, 1024),
     video_path: Optional[Path] = None,
 ):
-    """One scene -> test/database_data/{scene:05}/ layout."""
+    """One scene -> test/database_data/{scene:05}/ layout.
+
+    The extracted window matches the reference DataExtractor01 (:70-73):
+    starting at the camera-file line whose timestamp equals the curated
+    `start_timestamp` (from SceneSelector's Cache/AllScenesData.csv), taking
+    `num_frames` rows strided by `step_size`. Frames are resized to
+    `resolution` before saving (:120-124) so the saved pixels match the
+    intrinsics computed for that resolution."""
     from vipnerf_tpu.utils.io import save_image
 
     data = parse_camera_file(camera_file)
-    sel = slice(0, num_frames)
+    if start_timestamp is None:
+        start = 0
+    else:
+        matches = np.flatnonzero(data["timestamps"] == int(start_timestamp))
+        if matches.size == 0:
+            raise RuntimeError(
+                f"start_timestamp {start_timestamp} not found in {camera_file}"
+            )
+        start = int(matches[0])
+    sel = slice(start, start + num_frames * step_size, step_size)
     scene_dir = Path(output_dirpath) / f"{scene_num:05}"
     scene_dir.mkdir(parents=True, exist_ok=True)
 
@@ -131,6 +149,16 @@ def extract_scene(
     if video_path is not None:
         frames = extract_frames_from_video(video_path, data["timestamps"][sel])
         if frames is not None:
+            h, w = resolution
+            if frames.shape[1:3] != (h, w):
+                import cv2
+
+                frames = np.stack(
+                    [
+                        cv2.resize(f, (w, h), interpolation=cv2.INTER_AREA)
+                        for f in frames
+                    ]
+                )
             for i, frame in enumerate(frames):
                 save_image(scene_dir / f"rgb/{i:04}.png", frame)
 
@@ -330,6 +358,9 @@ def select_scenes(
     )
     from vipnerf_tpu.priors.visibility import save_gen_configs
 
+    # The reference SceneSelector back-fills missing keys in BOTH directions
+    # before diffing (SceneSelector01.py:150-165), so a key newly added to
+    # the code does not block resuming over an older output dir.
     save_gen_configs(
         output_dirpath,
         {
@@ -348,6 +379,7 @@ def select_scenes(
             # (the random bucket depends on it)
             "seed": seed,
         },
+        backfill_new_keys=True,
     )
     return all_df
 
@@ -370,6 +402,12 @@ def main():
                              "selection (SceneSelector01) instead of building")
     parser.add_argument("--select_output", default=None)
     parser.add_argument("--num_scenes", type=int, default=10)
+    parser.add_argument("--scenes_data_csv", default=None,
+                        help="Cache/AllScenesData.csv from --select_scenes_from"
+                             ": restricts extraction to the curated scenes and"
+                             " starts each window at its start_timestamp")
+    parser.add_argument("--step_size", type=int, default=1)
+    parser.add_argument("--num_frames_per_scene", type=int, default=50)
     args = parser.parse_args()
 
     db = Path(args.database_dirpath)
@@ -384,15 +422,37 @@ def main():
         cam_dir = Path(args.camera_files_dirpath)
         map_video_names(cam_dir, db / "test/VideoNameMapping.csv")
         names = sorted(p for p in cam_dir.glob("*.txt"))
+        # curated windows keyed by scene name: SceneSelector writes the
+        # extracted dir name, which is the video hash (camera-file stem) in
+        # this layout or the zero-padded scene number in the reference's
+        windows = None
+        if args.scenes_data_csv:
+            df = pd.read_csv(args.scenes_data_csv)
+            windows = {
+                str(r["scene_name"]): int(r["start_timestamp"])
+                for _, r in df.iterrows()
+            }
         for i, cam_file in enumerate(names):
             if i not in args.scene_nums:
                 continue
+            start_timestamp = None
+            if windows is not None:
+                for key in (cam_file.stem, f"{i:05}", str(i)):
+                    if key in windows:
+                        start_timestamp = windows[key]
+                        break
+                else:
+                    continue  # not a curated scene
             video_path = None
             if args.videos_dirpath:
                 candidates = list(Path(args.videos_dirpath).glob(f"{cam_file.stem}.*"))
                 video_path = candidates[0] if candidates else None
             extract_scene(
-                cam_file, i, db / "test/database_data", video_path=video_path
+                cam_file, i, db / "test/database_data",
+                video_path=video_path,
+                start_timestamp=start_timestamp,
+                step_size=args.step_size,
+                num_frames=args.num_frames_per_scene,
             )
     for set_num, n in zip(args.set_nums, args.num_train_frames):
         create_train_test_set(

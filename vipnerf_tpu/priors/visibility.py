@@ -140,14 +140,28 @@ _compute_visibility_weights_jit = jax.jit(
 )
 
 
-def save_gen_configs(output_dirpath: Path, configs: Dict):
-    """Strict config persistence (reference :214-227 raises on mismatch)."""
+def save_gen_configs(
+    output_dirpath: Path, configs: Dict, *, backfill_new_keys: bool = False
+):
+    """Strict config persistence (reference :214-227 raises on mismatch).
+
+    The prior generators' reference save_configs only back-fills old->new
+    keys, so a key newly added to the code raises on resume
+    (VisibilityMask02_NeRF_LLFF.py:214-227) -- the default here. The
+    database-builder variants (SceneSelector01.py:150-165,
+    DataExtractor01.py:200-213) back-fill both directions before diffing, so
+    resuming over an older output dir keeps working when the code gains a
+    config key; `backfill_new_keys=True` selects those semantics."""
     configs_path = Path(output_dirpath) / "Configs.json"
     if configs_path.exists():
         old = simplejson.load(open(configs_path))
         for key in old:
             if key not in configs:
                 configs[key] = old[key]
+        if backfill_new_keys:
+            for key in configs:
+                if key not in old:
+                    old[key] = configs[key]
         if configs != old:
             raise RuntimeError("Configs mismatch while resuming generation")
     with open(configs_path, "w") as f:
