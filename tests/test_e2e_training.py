@@ -287,7 +287,10 @@ class TestEndToEnd:
         configs["scan_steps"] = 10
         configs["validation_interval"] = 20
         configs["model_save_interval"] = 20
-        configs["profiler"] = {"start_iter": 0, "num_iters": 10}
+        # deliberately NOT aligned to a scan-chunk start (chunks begin at
+        # 0 and 10): the window [15, 18) must still trace the overlapping
+        # chunk [10, 20)
+        configs["profiler"] = {"start_iter": 15, "num_iters": 3}
         start_training(configs)
         profile_dir = (
             synth_root / "runs/training/train0008/synth01/logs/profile"

@@ -180,3 +180,35 @@ class TestShardedRendering:
         sharded = TiledRenderer(render_fn, configs, mesh=make_mesh())
         out, _ = sharded.render(params, batch, chunk_size=50)
         assert out["rgb_coarse"].shape == (100, 3)
+
+
+class TestSelectDevices:
+    """configs['device'] honors the reference's DataParallel device-list
+    contract (src/Trainer01.py:517): explicit indices pin devices,
+    "all"/None selects every local device."""
+
+    def test_all_and_none(self):
+        from vipnerf_tpu.parallel.mesh import select_devices
+
+        assert select_devices("all") == list(jax.devices())
+        assert select_devices(None) == list(jax.devices())
+
+    def test_explicit_indices_and_errors(self):
+        import pytest
+
+        from vipnerf_tpu.parallel.mesh import select_devices
+
+        devs = jax.devices()
+        assert select_devices([0]) == [devs[0]]
+        assert select_devices([1, 3]) == [devs[1], devs[3]]
+        assert select_devices(2) == [devs[2]]
+        with pytest.raises(ValueError, match="out of range"):
+            select_devices([len(devs)])
+
+    def test_trainer_honors_device_config(self, tmp_path):
+        """A Trainer configured with device=[0] must build a 1-device mesh
+        even on a multi-device host (two pinned runs must not contend)."""
+        from vipnerf_tpu.parallel.mesh import select_devices
+
+        assert len(select_devices([0])) == 1
+        assert len(select_devices("all")) == 8

@@ -252,3 +252,21 @@ def test_convert_rejects_mismatched_configs(tmp_path):
     wrong["model"]["coarse_mlp"]["netwidth"] = 128
     with pytest.raises(ValueError, match="mismatch"):
         convert_checkpoint(tar_path, wrong)
+
+
+def test_dangling_latest_symlink_is_replaced(tmp_path):
+    """A Model_Latest.ckpt whose target was deleted (manual rollback) must be
+    re-pointed even when the dead target's NAME parses to a newer iteration."""
+    import jax.numpy as jnp
+
+    from vipnerf_tpu.train import checkpoints
+
+    params = {"w": jnp.zeros((2,))}
+    opt = {"m": jnp.zeros((2,))}
+    checkpoints.save_checkpoint(tmp_path, 200, params, opt)
+    (tmp_path / "Model_Iter000200.ckpt").unlink()  # rollback: Latest dangles
+    checkpoints.save_checkpoint(tmp_path, 100, params, opt)
+    latest = tmp_path / "Model_Latest.ckpt"
+    assert latest.resolve().name == "Model_Iter000100.ckpt"
+    it, _, _ = checkpoints.load_checkpoint(latest, params, opt)
+    assert it == 100

@@ -158,7 +158,10 @@ def build_train_configs(
         "model_save_interval": model_save_interval,
         "mixed_precision_training": bf16_matmuls,
         "seed": seed,
-        "device": device or [0],
+        # "all" = every local device (reference demo1a pins its 2 CUDA
+        # ids, src/NerfLlffTrainerTester01.py:329; on TPU the whole mesh
+        # is the DataParallel equivalent). Pass an index list to pin.
+        "device": device or "all",
     }
 
 
@@ -185,7 +188,10 @@ def build_test_configs(
         "database_name": database,
         "database_dirpath": database_dirpath,
         scene_key: list(scene_ids),
-        "device": device or [0],
+        # "all" = every local device (reference demo1a pins its 2 CUDA
+        # ids, src/NerfLlffTrainerTester01.py:329; on TPU the whole mesh
+        # is the DataParallel equivalent). Pass an index list to pin.
+        "device": device or "all",
     }
     if resolution_suffix is not None:
         cfg["resolution_suffix"] = resolution_suffix

@@ -77,13 +77,10 @@ class NerfTester:
         # local device, or an explicit index list); with >1 device each
         # render tile's rays shard across the mesh.
         mesh = None
-        device_sel = test_configs.get("device", "all")
-        devices = jax.devices()
-        if isinstance(device_sel, (list, tuple)):
-            devices = [devices[i] for i in device_sel]
-        if len(devices) > 1:
-            from vipnerf_tpu.parallel.mesh import make_mesh
+        from vipnerf_tpu.parallel.mesh import make_mesh, select_devices
 
+        devices = select_devices(test_configs.get("device", "all"))
+        if len(devices) > 1:
             mesh = make_mesh(devices)
         self.renderer = TiledRenderer(self.render_fn, render_configs, mesh=mesh)
         # Measured render optimum on v5e: small tiles pipeline better after

@@ -29,6 +29,27 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.asarray(devices), (RAY_AXIS,))
 
 
+def select_devices(device_sel=None):
+    """Resolve a ``configs['device']`` selection to a device list.
+
+    The reference's configs carry CUDA device ids for DataParallel
+    (src/Trainer01.py:517, device:[0,1]); here the same key selects mesh
+    devices: ``None`` or ``"all"`` = every local device, otherwise an
+    explicit list of local device indices."""
+    devices = jax.devices()
+    if device_sel is None or device_sel == "all":
+        return list(devices)
+    if isinstance(device_sel, int):
+        device_sel = [device_sel]
+    bad = [i for i in device_sel if not 0 <= i < len(devices)]
+    if bad:
+        raise ValueError(
+            f"configs['device'] indices {bad} out of range: "
+            f"{len(devices)} local device(s) present"
+        )
+    return [devices[i] for i in device_sel]
+
+
 def ray_sharding(mesh: Mesh, axis: int = 0, ndim: int = 2) -> NamedSharding:
     """Shard dimension `axis` of an ndim-array over the ray axis."""
     spec = [None] * ndim

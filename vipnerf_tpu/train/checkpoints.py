@@ -57,11 +57,15 @@ def update_latest_symlink(save_dir: Path, path: Path) -> None:
     Relative symlink as in the reference (Trainer01.py:361-365)."""
     latest = Path(save_dir) / "Model_Latest.ckpt"
     if latest.is_symlink() or latest.exists():
-        try:
-            if checkpoint_iteration(latest) > checkpoint_iteration(path):
-                return
-        except (ValueError, OSError):
-            pass  # unparseable/broken Latest: replace it
+        # exists() follows symlinks: a dangling Latest (its target was
+        # deleted, e.g. a manual rollback) must be replaced no matter what
+        # iteration its target NAME parses to.
+        if latest.exists():
+            try:
+                if checkpoint_iteration(latest) > checkpoint_iteration(path):
+                    return
+            except (ValueError, OSError):
+                pass  # unparseable Latest: replace it
         latest.unlink()
     latest.symlink_to(Path(path).name)
 

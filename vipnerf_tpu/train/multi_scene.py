@@ -66,12 +66,17 @@ class MultiSceneTrainer:
         self.output_dirpath = Path(output_dirpath) if output_dirpath else None
         s = len(self.scene_ids)
 
-        devices = list(devices if devices is not None else jax.devices())
+        if devices is None:
+            from vipnerf_tpu.parallel.mesh import select_devices
+
+            devices = select_devices(configs.get("device"))
+        devices = list(devices)
         if len(devices) > s:
             devices = devices[:s]
         self.mesh = Mesh(np.asarray(devices), (SCENE_AXIS,))
         assert s % len(devices) == 0, (
-            f"{s} scenes must divide {len(devices)} devices"
+            f"the number of devices ({len(devices)}) must divide the number "
+            f"of scenes ({s})"
         )
 
         # Per-scene data (train + validation, like Trainer01.py:506-513)
@@ -282,6 +287,19 @@ class MultiSceneTrainer:
         loggers = self._get_loggers() if (log_scalars and can_persist) else None
 
         start_iter = self.load_checkpoints() if can_persist else 0
+        # Resume catch-up, like the sequential Trainer: checkpoints are
+        # written BEFORE validation, so a crash during a boundary's
+        # validation leaves a checkpoint whose validation artifacts are
+        # missing or partial — re-run that boundary unless every expected
+        # frame is on disk for every scene.
+        if (
+            can_persist
+            and start_iter > 0
+            and validation_interval
+            and start_iter % validation_interval == 0
+            and not self._validation_complete(start_iter)
+        ):
+            self.run_validation(start_iter - 1)
         # per-scene keys are chunk-invariant: fold_in(base_key, scene_i)
         scene_keys = jax.vmap(
             lambda i: jax.random.fold_in(self.base_key, i)
@@ -363,6 +381,23 @@ class MultiSceneTrainer:
         }
 
     # ------------------------------------------------------------- validation
+
+    def _validation_complete(self, it: int) -> bool:
+        """True iff the iteration-`it` boundary validation left every
+        expected frame render for every scene (train AND val passes), the
+        same resume-catch-up contract as Trainer._validation_complete."""
+        modes = ["coarse"]
+        if self.configs["model"].get("fine_mlp"):
+            modes.append("fine")
+        for i in range(len(self.scene_ids)):
+            frames_dir = self._scene_dir(i) / "samples/predicted_frames"
+            for prep in (self.preprocessors[i], self.val_preprocessors[i]):
+                for frame_num in prep.frame_nums:
+                    for mode in modes:
+                        name = f"{int(frame_num):04}_{mode}_Iter{it:05}.png"
+                        if not (frames_dir / name).exists():
+                            return False
+        return True
 
     def run_validation(self, iter_num: int):
         """Per-scene validation renders into the sequential trainer's
@@ -460,5 +495,8 @@ def start_training_batched(configs: Dict[str, Any]):
             scene_dir, trainer.preprocessors[i].get_model_configs()
         )
     trainer.train(configs["num_iterations"])
-    trainer.save_checkpoints(output_dirpath, configs["num_iterations"])
+    if not configs.get("model_save_interval"):
+        # train() already checkpoints the final iteration whenever a save
+        # interval is set; only save here when it could not have.
+        trainer.save_checkpoints(output_dirpath, configs["num_iterations"])
     return trainer

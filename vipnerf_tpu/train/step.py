@@ -134,25 +134,33 @@ def make_scan_train(
     gather_batch: Callable,
     train_step: Callable,
     *,
+    with_sd: bool = True,
     donate: bool = True,
 ) -> Callable:
     """Build the scanned multi-step update.
 
     scan_train(params, opt_state, base_key, start_iter,
-               nerf_indices (K, nr), sd_indices (K, nr_sd) | None)
+               nerf_indices (K, nr)[, sd_indices (K, nr_sd)])
       -> (params, opt_state, loss_scalars stacked over K)
 
     `gather_batch` is the preprocessor's pure device gather; index blocks come
     from the host once per chunk (vipnerf_tpu.data.preprocessor.get_index_chunk).
+    `with_sd=False` drops the sparse-depth index stream (the call then takes
+    5 positional args); RNG folding and iteration numbering are identical in
+    both modes.
     """
 
-    def scan_train(params, opt_state, base_key, start_iter, nerf_idx, sd_idx):
+    def scan_train(params, opt_state, base_key, start_iter, nerf_idx, sd_idx=None):
         k_steps = nerf_idx.shape[0]
         step_ids = jnp.arange(k_steps)
 
         def body(carry, xs):
             params, opt_state = carry
-            step_i, nerf_i, sd_i = xs
+            if with_sd:
+                step_i, nerf_i, sd_i = xs
+            else:
+                step_i, nerf_i = xs
+                sd_i = None
             iter_num = start_iter + step_i
             batch = gather_batch(nerf_i, sd_i, iter_num)
             rng = jax.random.fold_in(base_key, iter_num)
@@ -161,8 +169,9 @@ def make_scan_train(
             )
             return (params, opt_state), scalars
 
+        xs = (step_ids, nerf_idx, sd_idx) if with_sd else (step_ids, nerf_idx)
         (params, opt_state), scalars = jax.lax.scan(
-            body, (params, opt_state), (step_ids, nerf_idx, sd_idx)
+            body, (params, opt_state), xs
         )
         return params, opt_state, scalars
 
@@ -243,24 +252,7 @@ def make_scan_train_nosd(
     *,
     donate: bool = True,
 ) -> Callable:
-    """Variant without the sparse-depth index stream."""
-
-    def scan_train(params, opt_state, base_key, start_iter, nerf_idx):
-        k_steps = nerf_idx.shape[0]
-        step_ids = jnp.arange(k_steps)
-
-        def body(carry, xs):
-            params, opt_state = carry
-            step_i, nerf_i = xs
-            iter_num = start_iter + step_i
-            batch = gather_batch(nerf_i, None, iter_num)
-            rng = jax.random.fold_in(base_key, iter_num)
-            params, opt_state, scalars = train_step(params, opt_state, batch, rng)
-            return (params, opt_state), scalars
-
-        (params, opt_state), scalars = jax.lax.scan(
-            body, (params, opt_state), (step_ids, nerf_idx)
-        )
-        return params, opt_state, scalars
-
-    return jax.jit(scan_train, donate_argnums=(0, 1) if donate else ())
+    """Alias for make_scan_train(with_sd=False)."""
+    return make_scan_train(
+        configs, gather_batch, train_step, with_sd=False, donate=donate
+    )

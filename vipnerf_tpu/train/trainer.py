@@ -33,7 +33,12 @@ from vipnerf_tpu.utils.naming import scene_dirname
 from vipnerf_tpu.infer.renderer import TiledRenderer
 from vipnerf_tpu.losses import LossComputer
 from vipnerf_tpu.models import get_model
-from vipnerf_tpu.parallel.mesh import make_mesh, ray_sharding, replicate
+from vipnerf_tpu.parallel.mesh import (
+    make_mesh,
+    ray_sharding,
+    replicate,
+    select_devices,
+)
 from vipnerf_tpu.train import checkpoints
 from vipnerf_tpu.train.logging import ScalarLogger
 from vipnerf_tpu.train.lr_schedules import get_lr_schedule
@@ -42,7 +47,6 @@ from vipnerf_tpu.train.step import (
     make_host_loop_train,
     make_optimizer,
     make_scan_train,
-    make_scan_train_nosd,
     make_train_step,
 )
 from vipnerf_tpu.utils.config import init_seeds, save_configs, save_model_configs
@@ -75,7 +79,9 @@ class Trainer:
         self.opt_state = self.tx.init(params)
         self.lr_schedule = get_lr_schedule(configs)
 
-        self.mesh = make_mesh()
+        # Honor configs['device'] like the reference's DataParallel device
+        # list (src/Trainer01.py:517): "all"/None = every local device.
+        self.mesh = make_mesh(select_devices(configs.get("device")))
         self.multi_device = len(self.mesh.devices.ravel()) > 1
 
         train_step = make_train_step(
@@ -88,10 +94,10 @@ class Trainer:
             self.scan_train = make_host_loop_train(
                 configs, gather, train_step, with_sd=with_sd
             )
-        elif with_sd:
-            self.scan_train = make_scan_train(configs, gather, train_step)
         else:
-            self.scan_train = make_scan_train_nosd(configs, gather, train_step)
+            self.scan_train = make_scan_train(
+                configs, gather, train_step, with_sd=with_sd
+            )
 
         # Validation renders shard each tile's rays over the same mesh the
         # train step uses (reference DataParallel covers validation too).
@@ -179,10 +185,15 @@ class Trainer:
         while it < total_num_iters:
             nerf_dev, sd_dev, nerf_idx, sd_idx = pending
 
+            # Trace any scan chunk whose [it, it+k) range OVERLAPS the
+            # requested window — chunk starts rarely coincide with
+            # start_iter exactly (the trace covers the whole chunk; scan
+            # iterations cannot be traced individually).
             profiling = (
                 self.profiler_cfg is not None
-                and self.profiler_cfg["start_iter"] <= it
-                < self.profiler_cfg["start_iter"] + self.profiler_cfg.get("num_iters", 1)
+                and it < self.profiler_cfg["start_iter"]
+                + self.profiler_cfg.get("num_iters", 1)
+                and it + k > self.profiler_cfg["start_iter"]
             )
             if profiling:
                 import jax.profiler as _prof
@@ -514,4 +525,10 @@ def start_training(configs: Dict[str, Any]):
             loss_computer,
             scene_output_dirpath,
         )
-        trainer.train()
+        try:
+            trainer.train()
+        finally:
+            # Release the scene's jsonl handle and TensorBoard writer
+            # threads — a multi-scene run must not accumulate one of each
+            # per scene for the process lifetime.
+            trainer.logger.close()
