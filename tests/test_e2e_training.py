@@ -97,7 +97,10 @@ def small_train_configs(root: Path, num_iterations=1200):
         "validation_save_loss_maps": True,
         "model_save_interval": 600,
         "seed": 0,
-        "device": [0],
+        # "all": e2e tests exercise the production DP path on the 8-device
+        # virtual CPU mesh (explicit index lists are covered by
+        # tests/test_parallel.py::TestSelectDevices)
+        "device": "all",
     }
 
 

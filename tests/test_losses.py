@@ -175,3 +175,22 @@ class TestLossComputer:
         cfg = configs_with([{"name": "NoSuchLoss", "weight": 1}], fine=False)
         with pytest.raises(RuntimeError, match="Unknown Loss Function"):
             LossComputer(cfg)
+
+
+def test_iter_weights_without_zero_stage_rejected():
+    """The reference raises at runtime when iter_num falls below the
+    smallest iter_weights threshold (LossComputer01.py:66-69); here the
+    traced weight chain can't raise, so the config is validated up front."""
+    import pytest
+
+    from vipnerf_tpu.losses import LossComputer
+
+    configs = {
+        "model": {"coarse_mlp": {}},
+        "losses": [
+            {"name": "MSE01", "weight": 1},
+            {"name": "VisibilityPriorLoss01", "iter_weights": {"2000": 0.001}},
+        ],
+    }
+    with pytest.raises(RuntimeError, match="'0' stage"):
+        LossComputer(configs)

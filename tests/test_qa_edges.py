@@ -243,10 +243,10 @@ class TestDtuMaskedQa:
             width=32,
         )
         db_dir = db_root / "DTU/data"
-        scene_dir = db_dir / "all/database_data/1"
-        # DTU scene dirs are zero-padded numbers
+        # DTU scene dirs are zero-padded numbers — the writer now applies
+        # utils/naming.scene_dirname itself
         scene_dir05 = db_dir / "all/database_data/00001"
-        scene_dir.rename(scene_dir05)
+        assert scene_dir05.is_dir()
 
         # object masks: foreground spheres
         masks_dir = scene_dir05 / "ObjectMasks"
@@ -329,15 +329,24 @@ class TestUncachedBatching:
         full = prep.get_next_batch(0, image_num=5)
         h, w = prep.resolution
         assert full["rays_o"].shape == (h * w, 3)
-        # the regenerated rays render through the model end to end
+        # the regenerated rays render through the model end to end —
+        # INCLUDING the secondary-view visibility path, which needs the
+        # poses + per-ray pixel_id the uncached batch must supply
+        assert batch["pixel_id"].shape == (nr, 3)
+        assert "poses" in batch
         init_fn, render_fn = get_model(configs)
         params = init_fn(jax.random.PRNGKey(0), configs)
         out = render_fn(
-            params, configs, batch, train=False, sec_views_vis=False,
-            retraw=False,
+            params, configs, batch, train=False, sec_views_vis=True,
+            retraw=True,
         )
         rgb_key = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
         assert np.isfinite(np.asarray(out[rgb_key])).all()
+        vis_key = (
+            "visibility2_fine" if "visibility2_fine" in out
+            else "visibility2_coarse"
+        )
+        assert np.isfinite(np.asarray(out[vis_key])).all()
 
 
 class TestPreprocessorEdgeFixes:
@@ -396,6 +405,12 @@ class TestPreprocessorEdgeFixes:
         out = prep._next_nerf_indices(0)
         np.testing.assert_array_equal(out[:2], tail)
         assert out.size == 4
+        # the wrap CONSUMES the fresh permutation's head (cursor advances
+        # by the wrapped amount, like the C++ raystream): the next batch
+        # must continue from there, not re-serve out[2:4]
+        assert prep._i_batch == 2
+        nxt = prep._next_nerf_indices(1)
+        np.testing.assert_array_equal(nxt, prep._indices[2:6])
 
     def test_mip_nerf_test_rays_match_training_cache(self, llff_db):
         """mip-NeRF's half-pixel ray centers must apply at inference too:

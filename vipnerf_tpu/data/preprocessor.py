@@ -37,6 +37,7 @@ import numpy as np
 
 from vipnerf_tpu.core import poses as pose_ops
 from vipnerf_tpu.core import rays as ray_ops
+from vipnerf_tpu.utils.io import rescale_image
 
 
 def get_data_preprocessor(configs, mode, raw_data_dict=None, model_configs=None):
@@ -63,13 +64,6 @@ def _get_radii_ndc(rays_o_ndc: jnp.ndarray) -> jnp.ndarray:
     dy = jnp.sqrt(jnp.sum((rays_o_ndc[:, :, :-1] - rays_o_ndc[:, :, 1:]) ** 2, -1))
     dy = jnp.concatenate([dy, dy[:, :, -2:-1]], axis=2)
     return (0.5 * (dx + dy))[..., None] * 2.0 / jnp.sqrt(12.0)
-
-
-def _rescale_image(image: np.ndarray, factor: float, **kwargs) -> np.ndarray:
-    from vipnerf_tpu.utils.io import rescale_image
-
-    return rescale_image(image, factor, anti_aliasing=kwargs.get("anti_aliasing", True))
-
 
 class DataPreprocessor:
     def __init__(
@@ -159,9 +153,7 @@ class DataPreprocessor:
         if self.downsampling_factor > 1:
             images = np.stack(
                 [
-                    _rescale_image(
-                        im, self.downsampling_factor, anti_aliasing=True, channel_axis=-1
-                    )
+                    rescale_image(im, self.downsampling_factor, anti_aliasing=True)
                     for im in images
                 ]
             )
@@ -358,8 +350,8 @@ class DataPreprocessor:
         depths = np.asarray(raw["dense_depth_data"]["depth_values"], np.float32) * self.sc
         weights = np.asarray(raw["dense_depth_data"]["depth_weights"], np.float32)
         if self.downsampling_factor > 1:
-            depths = np.stack([_rescale_image(d, self.downsampling_factor) for d in depths])
-            weights = np.stack([_rescale_image(x, self.downsampling_factor) for x in weights])
+            depths = np.stack([rescale_image(d, self.downsampling_factor) for d in depths])
+            weights = np.stack([rescale_image(x, self.downsampling_factor) for x in weights])
         flat = depths.reshape(-1, 1)
         self.cache["dense_depth_values"] = jnp.asarray(flat)
         self.cache["dense_depth_weights"] = jnp.asarray(weights.reshape(-1, 1))
@@ -391,12 +383,12 @@ class DataPreprocessor:
                 flat = arr.reshape(n * nm1, h, w)
                 if key == "masks":
                     flat = np.stack(
-                        [_rescale_image(m, self.downsampling_factor) for m in flat]
+                        [rescale_image(m, self.downsampling_factor) for m in flat]
                     ).astype(bool).astype(np.float32)
                 else:
                     flat = np.stack(
                         [
-                            _rescale_image(m, self.downsampling_factor, anti_aliasing=True)
+                            rescale_image(m, self.downsampling_factor, anti_aliasing=True)
                             for m in flat
                         ]
                     )
@@ -470,7 +462,13 @@ class DataPreprocessor:
             self._rng.shuffle(self._indices)
             self._i_batch = 0
         if out.size < self.num_rays:  # epoch tail: wrap (reference returns short)
-            out = np.concatenate([out, self._indices[: self.num_rays - out.size]])
+            # consume (not just peek) the fresh permutation's head, or the
+            # next batch would re-serve those rays — and the C++ raystream
+            # (native/raystream.cpp raystream_next_block) advances its
+            # cursor through the wrap; the two streams must agree.
+            wrap = self.num_rays - out.size
+            out = np.concatenate([out, self._indices[:wrap]])
+            self._i_batch = wrap
         return out
 
     def _next_sd_indices(self) -> np.ndarray:
@@ -482,7 +480,9 @@ class DataPreprocessor:
             self._rng.shuffle(self._indices_sd)
             self._i_batch_sd = 0
         if out.size < k:
-            out = np.concatenate([out, self._indices_sd[: k - out.size]])
+            wrap = k - out.size  # consume the wrap, as in _next_nerf_indices
+            out = np.concatenate([out, self._indices_sd[:wrap]])
+            self._i_batch_sd = wrap
         return out
 
     def get_index_chunk(self, start_iter: int, num_iters: int):
@@ -651,18 +651,27 @@ class DataPreprocessor:
         else:
             img_i = int(np.where(self.frame_nums == image_num)[0].item())
 
-        rays_o, rays_d = ray_ops.get_rays(
+        rays_o_img, rays_d_img = ray_ops.get_rays(
             h, w,
             jnp.asarray(self._ray_intrinsic(self.intrinsics[img_i])),
             jnp.asarray(self.poses[img_i]),
-        )
-        rays_o = rays_o.reshape(-1, 3)
-        rays_d = rays_d.reshape(-1, 3)
+        )  # (h, w, 3) each
+        rays_o = rays_o_img.reshape(-1, 3)
+        rays_d = rays_d_img.reshape(-1, 3)
         target = jnp.asarray(self.images[img_i].reshape(-1, 3))
+        gx, gy = np.meshgrid(
+            np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32),
+            indexing="xy",
+        )
+        pixel_id = jnp.asarray(
+            np.stack([np.full((h, w), img_i, np.int32), gx, gy], axis=-1)
+            .reshape(-1, 3)
+        )
         if image_num is None:
             sel = self._rng.choice(h * w, size=self.num_rays, replace=False)
             sel = jnp.asarray(np.sort(sel))
             rays_o, rays_d, target = rays_o[sel], rays_d[sel], target[sel]
+            pixel_id = pixel_id[sel]
         nr = rays_o.shape[0]
         batch = {
             "iter_num": iter_num,
@@ -671,6 +680,7 @@ class DataPreprocessor:
             "rays_d": rays_d,
             "view_dirs": ray_ops.get_view_dirs(rays_d),
             "target_rgb": target,
+            "pixel_id": pixel_id,
             "indices_mask_nerf": jnp.ones((nr,), bool),
             "near": jnp.full((nr, 1), self.near, jnp.float32),
             "far": jnp.full((nr, 1), self.far, jnp.float32),
@@ -685,6 +695,26 @@ class DataPreprocessor:
             batch["rays_d_ndc"] = d_ndc
             batch["near_ndc"] = jnp.full((nr, 1), self.near_ndc, jnp.float32)
             batch["far_ndc"] = jnp.full((nr, 1), self.far_ndc, jnp.float32)
+        if self.mip_nerf_used:
+            radii = _get_radii(rays_d_img[None]).reshape(-1, 1)
+            batch["radii"] = (
+                radii[sel] if image_num is None else radii
+            ).astype(jnp.float32)
+            if self.ndc:
+                o_ndc_img, _ = ray_ops.get_ndc_rays(
+                    rays_o_img.reshape(-1, 3), rays_d_img.reshape(-1, 3),
+                    h, w, float(self.intrinsics[img_i][0, 0]),
+                    float(self.intrinsics[img_i][1, 1]), self.near,
+                )
+                radii_ndc = _get_radii_ndc(
+                    o_ndc_img.reshape(1, h, w, 3)
+                ).reshape(-1, 1)
+                batch["radii_ndc"] = (
+                    radii_ndc[sel] if image_num is None else radii_ndc
+                ).astype(jnp.float32)
+        if self.poses_needed and self.mode == "train":
+            # secondary-view origins need every pose + the per-ray image id
+            batch["poses"] = jnp.asarray(self.poses)
         return batch
 
     def get_next_batch(self, iter_num: int, image_num: Optional[int] = None):

@@ -150,9 +150,15 @@ def write_synthetic_database(
     root = Path(root)
     scene = scene or SphereScene(seed=seed)
 
+    from vipnerf_tpu.utils.naming import scene_dirname
+
     split_dir = {"NeRF_LLFF": "all", "RealEstate10K": "test", "DTU": "all"}[dataset]
     data_dir = root / dataset / "data"
-    scene_dir = data_dir / f"{split_dir}/database_data/{scene_name}"
+    # on-disk directories follow the loader's naming rule: scene_num datasets
+    # zero-pad to 5 digits (utils/naming.scene_dirname), LLFF uses the name
+    scene_key0 = "scene_name" if dataset == "NeRF_LLFF" else "scene_num"
+    scene_dirname_str = scene_dirname(scene_name, scene_key0)
+    scene_dir = data_dir / f"{split_dir}/database_data/{scene_dirname_str}"
     rgb_dir = scene_dir / f"rgb{resolution_suffix}"
     rgb_dir.mkdir(parents=True, exist_ok=True)
 
@@ -214,7 +220,7 @@ def write_synthetic_database(
         rng = np.random.default_rng(seed + 1)
         sd_dir = (
             data_dir
-            / f"{split_dir}/estimated_depths/{sparse_depth_dirname}/{scene_name}/estimated_depths{resolution_suffix}"
+            / f"{split_dir}/estimated_depths/{sparse_depth_dirname}/{scene_dirname_str}/estimated_depths{resolution_suffix}"
         )
         sd_dir.mkdir(parents=True, exist_ok=True)
         for f in train_frames:
@@ -233,7 +239,7 @@ def write_synthetic_database(
             (sd_dir / f"{f:04}.csv").write_text("\n".join(rows) + "\n")
 
     if with_visibility_prior:
-        vis_dir = data_dir / f"{split_dir}/visibility_prior/{visibility_dirname}/{scene_name}"
+        vis_dir = data_dir / f"{split_dir}/visibility_prior/{visibility_dirname}/{scene_dirname_str}"
         masks_dir = vis_dir / "visibility_masks"
         weights_dir = vis_dir / "visibility_weights"
         masks_dir.mkdir(parents=True, exist_ok=True)

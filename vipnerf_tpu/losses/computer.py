@@ -40,6 +40,16 @@ class LossComputer:
                 )
             self.losses[name] = _REGISTRY[name](configs, loss_cfg)
             self.loss_configs[name] = loss_cfg
+            if "weight" not in loss_cfg and "iter_weights" in loss_cfg:
+                # The reference raises at the first iteration below the
+                # smallest threshold (LossComputer01.py:66-69). iter_num is
+                # traced here so the in-graph chain can't raise — validate
+                # the config up front instead of silently zero-weighting.
+                if min(int(k) for k in loss_cfg["iter_weights"]) != 0:
+                    raise RuntimeError(
+                        f"Invalid iter_weights for {name}: a '0' stage is "
+                        f"required (got {sorted(loss_cfg['iter_weights'])})"
+                    )
 
     def get_loss_weight(
         self, name: str, iter_num: Union[int, jnp.ndarray]

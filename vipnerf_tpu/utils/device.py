@@ -25,8 +25,12 @@ def backend_probe_alive(timeout: float = 90.0) -> bool:
     import subprocess
     import sys
 
-    if jax._src.xla_bridge._backends:  # already initialized -> safe
-        return True
+    try:
+        if jax._src.xla_bridge._backends:  # already initialized -> safe
+            return True
+    except AttributeError:
+        pass  # private attr may move across jax versions; fall through
+        # to the subprocess probe, which never hangs this process
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         return True
     try:
