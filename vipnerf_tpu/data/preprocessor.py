@@ -132,11 +132,11 @@ class DataPreprocessor:
             return
         if not native_available():
             return
-        if self._indices is not None:
+        if self._indices is not None and len(self._indices):
             self._native_nerf = NativeRayStream(
                 len(self._indices), seed, candidates=self._indices
             )
-        if self._indices_sd is not None:
+        if self._indices_sd is not None and len(self._indices_sd):
             self._native_sd = NativeRayStream(
                 len(self._indices_sd), seed + 1, candidates=self._indices_sd
             )

@@ -23,12 +23,17 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
+        try:
+            # always invoke make: a no-op when up to date, a rebuild when
+            # the .cpp changed (an existing stale .so must not be loaded)
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR.as_posix(), "-s"],
                 check=True,
                 capture_output=True,
             )
+        except Exception:
+            if not _LIB_PATH.exists():
+                raise
         lib = ctypes.CDLL(_LIB_PATH.as_posix())
         lib.raystream_create.restype = ctypes.c_void_p
         lib.raystream_create.argtypes = [
@@ -72,6 +77,8 @@ class NativeRayStream:
             ptr = candidates.ctypes.data_as(ctypes.c_void_p)
         else:
             ptr = None
+        if count <= 0:
+            raise ValueError("raystream needs at least one candidate index")
         self._handle = lib.raystream_create(ptr, count, seed & (2**64 - 1))
         self._count = count
 

@@ -68,6 +68,7 @@ struct RayStream {
 
   void shuffle() {
     const size_t n = indices.size();
+    if (n < 2) return;  // n == 0 would underflow the loop index
     for (size_t i = n - 1; i > 0; --i) {
       const size_t j = (size_t)rng.bounded(i + 1);
       std::swap(indices[i], indices[j]);
@@ -123,6 +124,10 @@ void raystream_next_block(void* handle, int64_t k, int64_t batch,
                           int32_t* out) {
   auto* s = (RayStream*)handle;
   const size_t n = s->indices.size();
+  if (n == 0) {  // degenerate stream: nothing to draw from
+    std::memset(out, 0, sizeof(int32_t) * (size_t)(k * batch));
+    return;
+  }
   for (int64_t row = 0; row < k; ++row) {
     int64_t remaining = batch;
     int32_t* dst = out + row * batch;
