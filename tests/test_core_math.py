@@ -382,3 +382,19 @@ class TestVolumeRendering:
         assert out["visibility2"].shape == (nr, nf1)
         # constant per-point visibility -> pixel visibility ~ 0.5 * acc/(acc+eps)
         np.testing.assert_allclose(np.asarray(out["visibility2"]), 0.5, atol=1e-3)
+
+
+class TestPreprocessPosesValidation:
+    def test_test_mode_requires_average_pose(self):
+        from vipnerf_tpu.core.poses import preprocess_poses
+
+        w2c = np.stack([np.eye(4, dtype=np.float64)] * 3)
+        with pytest.raises(ValueError, match="average_pose"):
+            preprocess_poses(w2c, train_mode=False)
+
+    def test_spherify_requires_bounds(self):
+        from vipnerf_tpu.core.poses import preprocess_poses
+
+        w2c = np.stack([np.eye(4, dtype=np.float64)] * 3)
+        with pytest.raises(ValueError, match="bounds"):
+            preprocess_poses(w2c, train_mode=True, bounds=None, spherify=True)

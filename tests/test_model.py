@@ -334,3 +334,26 @@ class TestRenderRays:
         ).mean()
         assert np.isfinite(err_mixed)
         assert err_mixed <= err_bf16
+
+
+class TestConfigValidation:
+    """Out-of-contract configs fail loudly at init, not mid-forward (the
+    reference crashes on all of these too, just later and more opaquely)."""
+
+    def test_fine_only_model_rejected(self):
+        cfg = {"model": {"fine_mlp": small_mlp_cfg()}}
+        with pytest.raises(RuntimeError, match="requires coarse_mlp"):
+            vip_nerf.init_params(jax.random.PRNGKey(0), cfg)
+
+    def test_visibility_without_view_dirs_rejected(self):
+        cfg = small_mlp_cfg(use_view_dirs=False, predict_visibility=True)
+        with pytest.raises(RuntimeError, match="use_view_dirs"):
+            init_mlp_params(jax.random.PRNGKey(0), cfg)
+
+    def test_view_dep_rgb_without_view_dirs_rejected(self):
+        cfg = small_mlp_cfg(
+            use_view_dirs=False, view_dependent_rgb=True,
+            predict_visibility=False,
+        )
+        with pytest.raises(RuntimeError, match="use_view_dirs"):
+            init_mlp_params(jax.random.PRNGKey(0), cfg)

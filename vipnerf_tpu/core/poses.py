@@ -9,9 +9,9 @@ Behavioral parity targets (paths relative to /root/reference/):
 - spherify: DataPreprocessor01.py:1001-1057 (unused by shipped configs but
   part of the API surface).
 
-These run on host numpy-compatible jnp at scene-setup time (tiny: <= a few
-dozen 4x4 matrices) — they are written as pure functions so they are also
-property-testable and usable under jit.
+These run on HOST numpy at scene-setup time (tiny: <= a few dozen 4x4
+matrices, once per scene) — pure functions of their inputs, but numpy-only:
+they are not traceable under jit (and never need to be).
 """
 
 from typing import Dict, Optional, Tuple
@@ -167,6 +167,11 @@ def preprocess_poses(
         avg_pose = compute_average_pose(poses) if recenter else np.eye(4)
         out["average_pose"] = avg_pose
     else:
+        if average_pose is None:
+            raise ValueError(
+                "test mode requires the average_pose stored in the train "
+                "run's model configs (reference ModelConfigs.json contract)"
+            )
         sc = translation_scale if translation_scale is not None else 1.0
         poses[:, :3, 3] *= sc
         if bounds is not None:
@@ -177,6 +182,8 @@ def preprocess_poses(
     poses = convert_pose_to_standard_coordinates(poses)
 
     if spherify:
+        if "bounds" not in out:
+            raise ValueError("spherify requires depth bounds")
         poses, _, bds = spherify_poses(poses, out["bounds"])
         out["bounds"] = bds
 

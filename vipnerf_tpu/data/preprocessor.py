@@ -197,8 +197,16 @@ class DataPreprocessor:
             self.near_ndc = None
             self.far_ndc = None
         else:
-            bd_factor = self.bd_factor if self.bd_factor is not None else 1.0
-            self.near = float(bds[0] * bd_factor)
+            if self.bd_factor is None:
+                # bd_factor scaling is what makes the train scene's NDC
+                # near land at exactly 1, the value hard-coded into the
+                # NDC<->metric depth conversions (reference VipNeRF01.py:220,
+                # :396 — and the reference's sc computation crashes outright
+                # on ndc + bd_factor None, DataPreprocessor01.py:910-921).
+                # Without it, depth/visibility outputs would be silently
+                # wrong rather than loudly rejected.
+                raise RuntimeError("ndc mode requires data_loader.bd_factor")
+            self.near = float(bds[0] * self.bd_factor)
             self.far = float(bds[1])
             self.near_ndc = 0.0
             self.far_ndc = 1.0

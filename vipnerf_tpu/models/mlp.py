@@ -64,6 +64,16 @@ def mlp_feature_dims(mlp_cfg: Dict[str, Any]) -> Dict[str, int]:
 
 def init_mlp_params(key: jax.Array, mlp_cfg: Dict[str, Any]) -> Params:
     """Build the parameter pytree for one MLP (coarse or fine)."""
+    if not mlp_cfg["use_view_dirs"] and (
+        mlp_cfg["view_dependent_rgb"] or mlp_cfg["predict_visibility"]
+    ):
+        # the rgb/visibility view branch consumes encoded view directions;
+        # without use_view_dirs the forward pass has none to feed it (the
+        # reference crashes mid-forward on this combination too,
+        # VipNeRF01.py:563-596) — reject before parameters are built
+        raise RuntimeError(
+            "view_dependent_rgb / predict_visibility require use_view_dirs"
+        )
     depth = mlp_cfg["netdepth"]
     width = mlp_cfg["netwidth"]
     dims = mlp_feature_dims(mlp_cfg)

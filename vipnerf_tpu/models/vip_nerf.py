@@ -30,6 +30,11 @@ Params = Dict[str, Any]
 
 def init_params(key: jax.Array, configs: Dict[str, Any]) -> Params:
     """Init coarse/fine MLP parameter pytrees per `configs['model']`."""
+    if "fine_mlp" in configs["model"] and "coarse_mlp" not in configs["model"]:
+        # hierarchical fine sampling inverts the coarse weights' CDF; a
+        # fine-only config cannot render (the reference constructor also
+        # fails on it, VipNeRF01.py:19 reads coarse_mlp unconditionally)
+        raise RuntimeError("fine_mlp requires coarse_mlp")
     params: Params = {}
     keys = jax.random.split(key, 2)
     if "coarse_mlp" in configs["model"]:
