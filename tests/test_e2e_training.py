@@ -425,3 +425,44 @@ class TestEndToEnd:
         # training tightens the coarse/fine agreement). The bar guards the
         # plumbing (correct params, real render), not preview quality.
         assert psnr_vs_full > 12, f"preview diverges: {psnr_vs_full:.2f} dB"
+
+
+def test_validation_complete_requires_all_artifacts(tmp_path):
+    """The resume catch-up must re-run a boundary whose PNG exists but whose
+    later-written depth/variance artifacts are missing (run_validation
+    writes the PNG first; a crash in between must not mark it complete)."""
+    from types import SimpleNamespace
+
+    from vipnerf_tpu.train.trainer import Trainer
+
+    prep = SimpleNamespace(frame_nums=[0], mode="train")
+    vprep = SimpleNamespace(frame_nums=[1], mode="validation")
+    fake = SimpleNamespace(
+        configs={
+            "model": {"coarse_mlp": {"predict_visibility": False}},
+            "data_loader": {"ndc": False},
+        },
+        train_data_preprocessor=prep,
+        val_data_preprocessor=vprep,
+    )
+    it = 600
+    files = [
+        "predicted_frames/0000_coarse_Iter00600.png",
+        "predicted_depths/0000_coarse_Iter00600.npy",
+        "predicted_depths_variance/0000_coarse_Iter00600.npy",
+        "predicted_frames/0001_coarse_Iter00600.png",
+        "predicted_depths/0001_coarse_Iter00600.npy",
+        "predicted_depths_variance/0001_coarse_Iter00600.npy",
+    ]
+    complete = Trainer._validation_complete
+    # write all but the LAST artifact -> incomplete
+    for rel in files[:-1]:
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.touch()
+    assert not complete(fake, it, tmp_path)
+    (tmp_path / files[-1]).touch()
+    assert complete(fake, it, tmp_path)
+    # ndc mode additionally requires the ndc depth/variance files
+    fake.configs["data_loader"]["ndc"] = True
+    assert not complete(fake, it, tmp_path)

@@ -237,6 +237,8 @@ class DatasetApp:
                 }
                 suffix = suffix_template.format(video_num=video_num)
                 out = tester_mod.start_testing(test_configs, scenes_data, suffix)
+                if out is None:  # missing train run: tester printed + skipped
+                    continue
                 # the tester may extend the suffix (preview mode) — resolve
                 # the scene dir the same way it does
                 eff_suffix = tester_mod.effective_output_suffix(

@@ -281,6 +281,18 @@ def start_testing(
                 inference_required |= not depth_output_path.exists()
             if save_depth_var:
                 inference_required |= not depth_var_output_path.exists()
+            if save_visibility and frame_data["is_train_frame"]:
+                # visibility maps are written LAST — existing frame/depth
+                # files must not suppress regenerating missing ones (the
+                # reference's skip check predates its visibility outputs)
+                inference_required |= any(
+                    not (
+                        scene_output_dirpath
+                        / f"predicted_visibilities/{frame_num:04}_{f:04}.npy"
+                    ).exists()
+                    for f in train_frame_nums
+                    if f != frame_num
+                )
             if not inference_required:
                 continue
 

@@ -225,6 +225,16 @@ def start_generation(gen_configs: Dict, root_dirpath: Optional[Path] = None):
         )
 
         scene_out = output_dirpath / scene_dir
+        frame_cache: Dict[int, jnp.ndarray] = {}  # read each frame once
+
+        def load_frame(f: int) -> jnp.ndarray:
+            if f not in frame_cache:
+                frame_cache[f] = jnp.asarray(
+                    read_image(base / f"rgb{suffix}/{f:04}.png")[..., :3],
+                    jnp.float32,
+                )
+            return frame_cache[f]
+
         for i1, f1 in enumerate(frame_nums):
             for i2, f2 in enumerate(frame_nums):
                 if f2 <= f1:
@@ -237,10 +247,8 @@ def start_generation(gen_configs: Dict, root_dirpath: Optional[Path] = None):
                 }
                 if all(p.exists() for p in paths.values()):
                     continue
-                frame1 = read_image(base / f"rgb{suffix}/{f1:04}.png")[..., :3]
-                frame2 = read_image(base / f"rgb{suffix}/{f2:04}.png")[..., :3]
-                frame1 = jnp.asarray(frame1, jnp.float32)
-                frame2 = jnp.asarray(frame2, jnp.float32)
+                frame1 = load_frame(f1)
+                frame2 = load_frame(f2)
                 e1 = jnp.asarray(extrinsics[i1], jnp.float32)
                 e2 = jnp.asarray(extrinsics[i2], jnp.float32)
                 k1 = jnp.asarray(intrinsics[i1], jnp.float32)

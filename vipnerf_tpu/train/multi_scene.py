@@ -390,13 +390,20 @@ class MultiSceneTrainer:
         if self.configs["model"].get("fine_mlp"):
             modes.append("fine")
         for i in range(len(self.scene_ids)):
-            frames_dir = self._scene_dir(i) / "samples/predicted_frames"
+            samples_dir = self._scene_dir(i) / "samples"
             for prep in (self.preprocessors[i], self.val_preprocessors[i]):
                 for frame_num in prep.frame_nums:
+                    f = int(frame_num)
                     for mode in modes:
-                        name = f"{int(frame_num):04}_{mode}_Iter{it:05}.png"
-                        if not (frames_dir / name).exists():
-                            return False
+                        tag = f"{mode}_Iter{it:05}"
+                        # depth .npy is written AFTER the PNG — check both
+                        # so a crash between the writes still re-runs
+                        for rel in (
+                            f"predicted_frames/{f:04}_{tag}.png",
+                            f"predicted_depths/{f:04}_{tag}.npy",
+                        ):
+                            if not (samples_dir / rel).exists():
+                                return False
         return True
 
     def run_validation(self, iter_num: int):
@@ -490,7 +497,11 @@ def start_training_batched(configs: Dict[str, Any]):
     )
     for i, scene_id in enumerate(scene_ids):
         scene_dir = output_dirpath / f"{scene_id}"
-        scene_dir.mkdir(parents=True, exist_ok=configs.get("resume_training", True))
+        # same guard as the sequential start_training: reusing an existing
+        # scene dir requires an explicit resume_training opt-in
+        scene_dir.mkdir(
+            parents=True, exist_ok=configs.get("resume_training", False)
+        )
         save_model_configs(
             scene_dir, trainer.preprocessors[i].get_model_configs()
         )

@@ -265,20 +265,49 @@ class Trainer:
         self, it: int, sample_images_dirpath: Path
     ) -> bool:
         """True iff the iteration-`it` boundary validation left every
-        expected frame render (coarse always; fine when the model has a
-        fine MLP) for both the train and val preprocessors."""
-        frames_dir = sample_images_dirpath / "predicted_frames"
+        expected artifact (coarse always; fine when the model has a fine
+        MLP) for both the train and val preprocessors.
+
+        Checks the full unconditional per-frame chain — PNG, depth .npy,
+        depth-variance .npy (+ the NDC variants in ndc mode, + the
+        per-secondary-view visibilities on the train pass) — not just the
+        PNG: run_validation writes the PNG FIRST, so a crash between writes
+        must still trigger the catch-up."""
         modes = ["coarse"]
         if self.configs["model"].get("fine_mlp"):
             modes.append("fine")
+        ndc = self.configs["data_loader"].get("ndc", False)
+        predicts_vis = any(
+            self.configs["model"].get(m, {}).get("predict_visibility", False)
+            for m in ("coarse_mlp", "fine_mlp")
+        )
         for prep in (
             self.train_data_preprocessor, self.val_data_preprocessor
         ):
-            for frame_num in prep.frame_nums:
+            frame_nums = prep.frame_nums
+            for frame_num in frame_nums:
+                f = int(frame_num)
                 for mode in modes:
-                    name = f"{int(frame_num):04}_{mode}_Iter{it:05}.png"
-                    if not (frames_dir / name).exists():
-                        return False
+                    tag = f"{mode}_Iter{it:05}"
+                    expected = [
+                        f"predicted_frames/{f:04}_{tag}.png",
+                        f"predicted_depths/{f:04}_{tag}.npy",
+                        f"predicted_depths_variance/{f:04}_{tag}.npy",
+                    ]
+                    if ndc:
+                        expected += [
+                            f"predicted_depths/{f:04}_{mode}_ndc_Iter{it:05}.npy",
+                            f"predicted_depths_variance/{f:04}_{mode}_ndc_Iter{it:05}.npy",
+                        ]
+                    if predicts_vis and prep.mode == "train":
+                        expected += [
+                            f"predicted_visibilities/{f:04}_{int(sec):04}_{tag}.npy"
+                            for sec in frame_nums
+                            if int(sec) != f
+                        ]
+                    for rel in expected:
+                        if not (sample_images_dirpath / rel).exists():
+                            return False
         return True
 
     def _boundary_validation(self, it: int, sample_images_dirpath: Path):
