@@ -157,6 +157,24 @@ class TestMultiSceneTrainer:
                 scene_dir / "saved_models/Model_Iter000060.ckpt"
             ).exists()
 
+    def test_resume_catches_up_incomplete_validation(self, two_scene_db):
+        """Checkpoints are written BEFORE validation: resuming over a
+        boundary whose validation artifacts are partial (crash between the
+        PNG and depth writes) must re-run that boundary's validation."""
+        from vipnerf_tpu.train.multi_scene import start_training_batched
+
+        configs = configs_for(two_scene_db)
+        configs["num_iterations"] = 60  # same as the resume test: no-op train
+        root = two_scene_db.parent.parent
+        victim = (
+            root / "runs/training/train0007/synth02/samples"
+            / "predicted_depths/0000_coarse_Iter00060.npy"
+        )
+        assert victim.exists()
+        victim.unlink()
+        start_training_batched(configs)
+        assert victim.exists()  # regenerated by the catch-up
+
     def test_app_entry_batch_scenes_flag(self, two_scene_db):
         """`batch_scenes: true` routes the app start_training to the
         multi-scene trainer (round-3: the feature is app-invocable, not
