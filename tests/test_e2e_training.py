@@ -426,6 +426,65 @@ class TestEndToEnd:
         # plumbing (correct params, real render), not preview quality.
         assert psnr_vs_full > 12, f"preview diverges: {psnr_vs_full:.2f} dB"
 
+    def test_sample_budget_override_testing(self, synth_root):
+        """Beyond-reference: test_configs num_samples_coarse/fine override
+        the render-time quadrature while loading the full checkpoint
+        unchanged (tools/sample_budget_eval.py measures the quality/speed
+        tradeoff on the protocol checkpoint)."""
+        from vipnerf_tpu.infer import start_testing
+        from vipnerf_tpu.utils.io import read_image
+
+        db_dir = synth_root / "data/databases/NeRF_LLFF/data"
+        extr = np.loadtxt(
+            db_dir / "all/database_data/synth01/CameraExtrinsics.csv",
+            delimiter=",",
+        ).reshape(-1, 4, 4)
+        intr = np.loadtxt(
+            db_dir / "all/database_data/synth01/CameraIntrinsics.csv",
+            delimiter=",",
+        ).reshape(-1, 3, 3)
+        test_configs = {
+            "tester": "VipNerfTpuTester",
+            "test_num": 10,
+            "test_set_num": 2,
+            "train_num": 1,
+            "model_name": "Model_Latest.ckpt",
+            "database": "NeRF_LLFF",
+            "database_dirpath": "databases/NeRF_LLFF/data",
+            "root_dirpath": str(synth_root),
+            "device": [0],
+            "chunk_size": 1024,
+            "num_samples_coarse": 8,
+            "num_samples_fine": 8,
+        }
+        scenes_data = {
+            "synth01": {
+                "output_dirname": "synth01",
+                "frames_data": {
+                    1: {"extrinsic": extr[1], "intrinsic": intr[1],
+                        "is_train_frame": False},
+                },
+            }
+        }
+        start_testing(test_configs, scenes_data)
+        budget_path = (
+            synth_root
+            / "runs/testing/test0010/synth01/predicted_frames/0001.png"
+        )
+        full_path = (
+            synth_root
+            / "runs/testing/test0001/synth01/predicted_frames/0001.png"
+        )
+        assert budget_path.exists()
+        budget = read_image(budget_path).astype(np.float32)
+        full = read_image(full_path).astype(np.float32)
+        assert not np.array_equal(budget, full)  # quadrature really changed
+        mse = np.mean((budget - full) ** 2)
+        psnr_vs_full = 10 * np.log10(255.0**2 / mse)
+        # 8+16 points approximates the 16+48 full render closely on the
+        # trained model; the bar guards the plumbing, not the tradeoff
+        assert psnr_vs_full > 15, f"budget diverges: {psnr_vs_full:.2f} dB"
+
 
 def test_validation_complete_requires_all_artifacts(tmp_path):
     """The resume catch-up must re-run a boundary whose PNG exists but whose

@@ -61,6 +61,24 @@ class NerfTester:
                 else None
             )
             render_configs = preview_configs(train_configs, num_samples)
+        # Beyond-reference: render-time sample-budget overrides. num_samples
+        # only shapes the quadrature — the checkpoint loads unchanged.
+        # Measured on the 50k protocol checkpoint (tools/sample_budget_eval.py,
+        # BASELINE.md round-3): on the sparse-view synthetic scene a reduced
+        # budget renders FASTER AND CLEANER (dense quadrature integrates the
+        # low-density fog that 2-view training leaves in free space).
+        # Defaults unchanged (reference parity).
+        sample_overrides = {
+            "coarse_mlp": test_configs.get("num_samples_coarse"),
+            "fine_mlp": test_configs.get("num_samples_fine"),
+        }
+        if any(v is not None for v in sample_overrides.values()):
+            import copy
+
+            render_configs = copy.deepcopy(render_configs)
+            for mlp_key, value in sample_overrides.items():
+                if value is not None and mlp_key in render_configs["model"]:
+                    render_configs["model"][mlp_key]["num_samples"] = int(value)
 
         self.data_preprocessor = get_data_preprocessor(
             render_configs, mode="test", model_configs=model_configs
