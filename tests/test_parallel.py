@@ -170,6 +170,64 @@ class TestShardedRendering:
             np.testing.assert_allclose(out1[k], out8[k], atol=1e-5, rtol=1e-5)
         assert np.isclose(l1["TotalLoss"], l8["TotalLoss"], rtol=1e-5)
 
+    def test_map_losses_match_eager_tiles(self):
+        """Losses computed inside the lax.map single-dispatch program must
+        merge to the same values (and identical loss maps) as the eager
+        per-tile path — the reference's chunk-merge semantics
+        (src/Trainer01.py:147-172) with one host dispatch per frame. Checked
+        single-device AND mesh-sharded."""
+        configs = small_configs()
+        init_fn, render_fn = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        lc = LossComputer(configs)
+        batch = _render_batch()
+        batch["target_rgb"] = jnp.asarray(
+            np.random.default_rng(9).uniform(size=(300, 3)).astype(np.float32)
+        )
+        batch["indices_mask_nerf"] = jnp.ones((300,), bool)
+        batch["num_frames"] = 3
+        batch["iter_num"] = 0
+
+        single = TiledRenderer(render_fn, configs, loss_computer=lc)
+        sharded = TiledRenderer(
+            render_fn, configs, loss_computer=lc, mesh=make_mesh()
+        )
+        kwargs = dict(
+            chunk_size=64, with_losses=True, retraw=True,
+            return_loss_maps=True,
+        )
+        out_eager, l_eager = single.render(
+            params, batch, single_dispatch=False, **kwargs
+        )
+        for renderer in (single, sharded):
+            out_map, l_map = renderer.render(
+                params, batch, single_dispatch=True, **kwargs
+            )
+            for k in out_eager:
+                np.testing.assert_allclose(
+                    out_eager[k], out_map[k], atol=1e-5, rtol=1e-5
+                )
+            assert set(l_eager) == set(l_map)
+            for name, val in l_eager.items():
+                if isinstance(val, dict):
+                    assert np.isclose(
+                        val["loss_value"], l_map[name]["loss_value"],
+                        rtol=1e-5, atol=1e-7,
+                    ), name
+                    assert set(val["loss_maps"]) == set(
+                        l_map[name]["loss_maps"]
+                    )
+                    for mk, mv in val["loss_maps"].items():
+                        assert mv.shape == (300,)
+                        np.testing.assert_allclose(
+                            mv, l_map[name]["loss_maps"][mk],
+                            atol=1e-5, rtol=1e-5, err_msg=f"{name}/{mk}",
+                        )
+                else:
+                    assert np.isclose(
+                        val, l_map[name], rtol=1e-5, atol=1e-7
+                    ), name
+
     def test_tile_rounding_to_mesh_multiple(self):
         """chunk_size not divisible by the mesh size still works (rounded
         down to a multiple, min one per device)."""

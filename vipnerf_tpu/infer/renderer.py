@@ -206,22 +206,28 @@ class TiledRenderer:
         over tiles (reference merge semantics, Trainer01.py:147-172) with loss
         maps concatenated, or None.
 
-        single_dispatch (default: on when not collecting losses) runs the
-        whole tile loop on device via lax.map — one host dispatch per frame
-        instead of ~8 eager slices + 1 call per tile (each eager op is a
-        full round trip on remote-tunnel backends).
+        single_dispatch (default: on) runs the whole tile loop on device via
+        lax.map — one host dispatch per frame instead of ~8 eager slices + 1
+        call per tile (each eager op is a full round trip on remote-tunnel
+        backends). Losses ride inside the map: per-tile loss values are
+        device-side and averaged on host once (the same per-tile-mean merge
+        the eager path uses, matching the reference's chunk merge,
+        Trainer01.py:147-172), loss maps are gathered in one transfer.
         """
         nr = int(batch["rays_o"].shape[0])
         mult = self._tile_multiple()
         tile = min(chunk_size, nr)
         tile = max(mult, (tile // mult) * mult)  # divisible across the mesh
         if single_dispatch is None:
-            single_dispatch = not with_losses
-        if single_dispatch and not with_losses:
+            single_dispatch = True
+        if single_dispatch and (
+            not with_losses or self.loss_computer is not None
+        ):
             return self._render_single_dispatch(
                 params, batch, nr, tile, sec_views_vis, retraw,
                 tuple(keep) if keep is not None else None, uint8_rgb,
-            ), None
+                with_losses=with_losses, return_loss_maps=return_loss_maps,
+            )
         fn = self._get_tile_fn(
             sec_views_vis, retraw, with_losses, return_loss_maps,
             tuple(keep) if keep is not None else None, uint8_rgb,
@@ -288,23 +294,31 @@ class TiledRenderer:
         return outputs, merged_losses
 
     def _render_single_dispatch(
-        self, params, batch, nr, tile, sec_views_vis, retraw, keep, uint8_rgb
+        self, params, batch, nr, tile, sec_views_vis, retraw, keep, uint8_rgb,
+        with_losses=False, return_loss_maps=False,
     ):
         """One jitted program for the whole frame: pad + reshape ray fields to
-        (n_tiles, tile, ...) and lax.map the tile render on device."""
-        key = ("single", sec_views_vis, retraw, keep, uint8_rgb, tile)
+        (n_tiles, tile, ...) and lax.map the tile render on device. Losses
+        (when requested) are computed per tile INSIDE the map — the stacked
+        per-tile loss values come back in the same single transfer as the
+        render outputs and are merged on host exactly like the eager per-tile
+        path (mean over tiles; loss maps concatenated and cropped)."""
+        key = ("single", sec_views_vis, retraw, keep, uint8_rgb, tile,
+               with_losses, return_loss_maps)
         fn = self._jitted.get(key)
         if fn is None:
             keep_keys = keep if keep is not None else _KEEP_KEYS
             render_fn = self.render_fn
             configs = self.configs
+            loss_computer = self.loss_computer
 
             def whole_frame(params, padded_batch, const_batch):
                 def tile_body(tile_batch):
+                    full_tile = {**tile_batch, **const_batch}
                     out = render_fn(
                         params,
                         configs,
-                        {**tile_batch, **const_batch},
+                        full_tile,
                         train=False,
                         sec_views_vis=sec_views_vis,
                         retraw=retraw,
@@ -316,6 +330,11 @@ class TiledRenderer:
                                 kept[k] = jnp.round(
                                     jnp.clip(kept[k], 0.0, 1.0) * 255.0
                                 ).astype(jnp.uint8)
+                    if with_losses:
+                        losses = loss_computer.compute_losses(
+                            full_tile, out, return_loss_maps=return_loss_maps
+                        )
+                        return kept, losses
                     return kept
 
                 return jax.lax.map(tile_body, padded_batch)
@@ -338,8 +357,25 @@ class TiledRenderer:
             tiled_batch, const_batch, params = self._shard_tile_batch(
                 tiled_batch, const_batch, params
             )
-        stacked = jax.device_get(fn(params, tiled_batch, const_batch))
-        return {
+        result = jax.device_get(fn(params, tiled_batch, const_batch))
+        stacked, stacked_losses = result if with_losses else (result, None)
+        outputs = {
             k: np.asarray(v).reshape((padded,) + v.shape[2:])[:nr]
             for k, v in stacked.items()
         }
+        merged_losses = None
+        if with_losses:
+            merged_losses = {}
+            for name, val in stacked_losses.items():
+                if isinstance(val, dict):
+                    merged_losses[name] = {
+                        "loss_value": float(np.mean(val["loss_value"]))
+                    }
+                    if return_loss_maps and "loss_maps" in val:
+                        merged_losses[name]["loss_maps"] = {
+                            mk: np.asarray(mv).reshape(padded)[:nr]
+                            for mk, mv in val["loss_maps"].items()
+                        }
+                else:  # TotalLoss scalar -> (num_tiles,)
+                    merged_losses[name] = float(np.mean(val))
+        return outputs, merged_losses

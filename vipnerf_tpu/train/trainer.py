@@ -333,8 +333,18 @@ class Trainer:
     def run_validation(
         self, iter_num: int, data_preprocessor, save_dirpath: Path
     ) -> Dict[str, float]:
-        """Full-image renders of every frame with losses (reference :109-263)."""
-        chunk_size = self.configs["validation_chunk_size"]
+        """Full-image renders of every frame with losses (reference :109-263).
+
+        Tile size: `validation_tile_size` if set, else the smaller of
+        `validation_chunk_size` and 8192 — the measured-optimal render tile
+        on v5e (BASELINE.md round-2 tile sweep; small tiles pipeline better),
+        now safe for the loss path too since losses ride inside the lax.map
+        single-dispatch program (one host round trip per frame either way).
+        `validation_chunk_size` keeps its reference meaning
+        (src/Trainer01.py:181) as an upper bound."""
+        chunk_size = self.configs.get("validation_tile_size") or min(
+            self.configs["validation_chunk_size"], 8192
+        )
         save_loss_maps = self.configs.get("validation_save_loss_maps", False)
         h, w = data_preprocessor.resolution
         is_train_data = data_preprocessor.mode == "train"
