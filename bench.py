@@ -297,6 +297,9 @@ def main():
     # 277); this metric surfaces the documented test-time operating point
     # (MIGRATION.md "Render-time sample budget").
     budget_fps = None
+    if os.environ.get("BENCH_BUDGET", "1") == "1" and render_fps is None:
+        print("# budget bench skipped: render bench did not run "
+              "(it provides the test batch)", file=sys.stderr)
     if os.environ.get("BENCH_BUDGET", "1") == "1" and render_fps is not None:
         try:
             import copy as _copy

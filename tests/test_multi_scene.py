@@ -25,15 +25,11 @@ def two_scene_db(tmp_path_factory):
             with_sparse_depth=True,
             with_visibility_prior=True,
         )
-    # write_synthetic_database writes one scene's split CSVs at a time;
-    # rebuild them covering both scenes
+    # write_synthetic_database merges split CSVs across per-scene calls;
+    # assert both scenes made it into the train split
     sets_dir = root / "NeRF_LLFF/data/train_test_sets/set02"
-    for mode, frames in (("Train", (0, 5)), ("Validation", (2,)),
-                         ("Test", (1, 3, 4))):
-        lines = ["scene_name,pred_frame_num"]
-        for name in names:
-            lines += [f"{name},{f}" for f in frames]
-        (sets_dir / f"{mode}VideosData.csv").write_text("\n".join(lines) + "\n")
+    train_csv = (sets_dir / "TrainVideosData.csv").read_text()
+    assert all(name in train_csv for name in names)
     return root
 
 

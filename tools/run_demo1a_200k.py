@@ -56,7 +56,11 @@ def main():
     db_dir = db_root / "NeRF_LLFF/data"
 
     t0 = time.time()
-    if not (db_dir / "all/database_data/synth01").exists():
+    # restart safety: key on a completion marker written AFTER generation,
+    # not on a directory created at the start of it — a kill mid-generation
+    # must trigger a clean rebuild on re-invocation
+    db_marker = db_dir / ".synthetic_db_complete"
+    if not db_marker.exists():
         print("generating synthetic database...", flush=True)
         write_synthetic_database(
             db_root,
@@ -68,10 +72,10 @@ def main():
             width=args.width,
             resolution_suffix="_down4",
         )
-    if not (db_dir / "train_test_sets/set02/video_poses01").exists():
         create_spiral_video_poses(
             db_dir, set_num=2, num_frames=args.video_frames
         )
+        db_marker.touch()
     print(f"db ready in {time.time() - t0:.0f}s", flush=True)
 
     # The app module resolves root_dirpath='.' at call time — run from the

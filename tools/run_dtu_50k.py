@@ -59,7 +59,10 @@ def main():
     scene_dir = db_dir / "all/database_data/00021"
 
     t0 = time.time()
-    if not scene_dir.exists():
+    # restart safety: completion marker written AFTER generation (a kill
+    # mid-generation must trigger a clean rebuild on re-invocation)
+    db_marker = db_dir / ".synthetic_db_complete"
+    if not db_marker.exists():
         print("generating synthetic DTU database...", flush=True)
         gt = write_synthetic_database(
             db_root,
@@ -74,15 +77,14 @@ def main():
         # RegNeRF-style object masks for the masked metric quartet
         # (reference MaskedRMSE05_DTU.py:62 reads ObjectMasks/{frame:04}.png)
         masks_dir = scene_dir / "ObjectMasks"
-        masks_dir.mkdir()
+        masks_dir.mkdir(exist_ok=True)
         for f in range(6):
             mask = (gt["depths"][f] > 0).astype(np.uint8) * 255
             save_image(masks_dir / f"{f:04}.png", mask)
-    poses_dir = db_dir / "train_test_sets/set02/video_poses01"
-    if not poses_dir.exists():
         # circular track around the object (the reference repo ships
         # video_poses CSVs per dataset; DTU is object-centric, so a ring)
-        poses_dir.mkdir(parents=True)
+        poses_dir = db_dir / "train_test_sets/set02/video_poses01"
+        poses_dir.mkdir(parents=True, exist_ok=True)
         track = make_camera_ring(args.video_frames + 1, spread_deg=60.0)
         np.savetxt(
             poses_dir / "00021.csv",
@@ -94,6 +96,7 @@ def main():
             np.arange(0, args.video_frames, 2),
             delimiter=",",
         )
+        db_marker.touch()
     print(f"db ready in {time.time() - t0:.0f}s", flush=True)
 
     os.chdir(workdir)

@@ -124,7 +124,12 @@ def build_train_configs(
             # 73.4k rays/s) with f32-grade convergence (PSNR 19.0 at the
             # matched probe config)
             "f32_heads": bf16_matmuls,
-            "remat": False,
+            # full rematerialization of the MLP backward: measured FASTER on
+            # v5e (recomputing the cheap-PE forward beats writing ~10
+            # activation tensors to HBM; 60 vs 77 ms/step, BASELINE.md
+            # round-2) and the setting every protocol-scale run (round-3
+            # 50k x2, round-4 200k/DTU) and bench.py ship with
+            "remat": True,
             # measured optimum on TPU v5e (see bench.py): bounds live
             # activation memory per on-device map iteration
             "netchunk_map": 16384,

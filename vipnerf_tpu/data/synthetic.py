@@ -205,9 +205,19 @@ def write_synthetic_database(
     scene_val = scene_name if dataset == "NeRF_LLFF" else int(scene_name)
 
     def write_split(mode, frames):
+        # Merge with any existing split CSV (multi-scene databases are built
+        # one scene per call): keep other scenes' rows, replace this scene's.
+        path = sets_dir / f"{mode}VideosData.csv"
         lines = [f"{scene_key},pred_frame_num"]
+        if path.exists():
+            existing = path.read_text().splitlines()
+            if existing and existing[0] == lines[0]:
+                lines += [
+                    row for row in existing[1:]
+                    if row and row.split(",")[0] != str(scene_val)
+                ]
         lines += [f"{scene_val},{f}" for f in frames]
-        (sets_dir / f"{mode}VideosData.csv").write_text("\n".join(lines) + "\n")
+        path.write_text("\n".join(lines) + "\n")
 
     test_frames = [
         f for f in range(num_frames) if f not in train_frames and f not in val_frames

@@ -373,7 +373,9 @@ class TiledRenderer:
                     }
                     if return_loss_maps and "loss_maps" in val:
                         merged_losses[name]["loss_maps"] = {
-                            mk: np.asarray(mv).reshape(padded)[:nr]
+                            mk: np.asarray(mv).reshape(
+                                (padded,) + np.asarray(mv).shape[2:]
+                            )[:nr]
                             for mk, mv in val["loss_maps"].items()
                         }
                 else:  # TotalLoss scalar -> (num_tiles,)

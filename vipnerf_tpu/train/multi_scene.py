@@ -416,7 +416,12 @@ class MultiSceneTrainer:
             self._renderer = TiledRenderer(
                 self.render_fn, self.configs, loss_computer=self.loss_computer
             )
-        chunk_size = self.configs.get("validation_chunk_size", 65536)
+        # same tile policy as the sequential Trainer.run_validation:
+        # measured-optimal 8192 tile, bounded by validation_chunk_size,
+        # validation_tile_size overrides
+        chunk_size = self.configs.get("validation_tile_size") or min(
+            self.configs.get("validation_chunk_size", 65536), 8192
+        )
         params_host = jax.device_get(self.params)
         loggers = self._get_loggers()
         for i in range(len(self.scene_ids)):
