@@ -17,7 +17,10 @@ import json
 
 import pytest
 
-from vipnerf_tpu.data.synthetic import write_synthetic_database
+from vipnerf_tpu.data.synthetic import (
+    make_dtu_scene,
+    write_synthetic_database,
+)
 
 
 def _tiny_train_configs(database, database_dirpath, scene_key, scene_ids, *,
@@ -86,6 +89,7 @@ class TestDtuApp:
         from vipnerf_tpu.utils.io import save_image
 
         root = tmp_path_factory.mktemp("dtuapp")
+        dtu_scene, dtu_ring = make_dtu_scene()
         gt = write_synthetic_database(
             root / "data/databases",
             dataset="DTU",
@@ -95,6 +99,8 @@ class TestDtuApp:
             val_frames=(1,),
             height=24,
             width=32,
+            scene=dtu_scene,
+            **dtu_ring,
         )
         # RegNeRF-style object masks for the masked metric quartet
         # (reference MaskedRMSE05_DTU.py:62 reads
@@ -221,3 +227,38 @@ class TestRealEstateApp:
         for base in ("RMSE01", "PSNR01", "SSIM01"):
             assert isinstance(scores[base], float), scores
         assert "MaskedRMSE01" not in scores  # masked quartet is DTU-only
+
+
+class TestDtuSceneContract:
+    def test_dtu_scene_depths_inside_fixed_bounds(self, tmp_path):
+        """The DTU loader uses FIXED depth bounds [0.1, 5]
+        (DtuDataLoader01.py:66) and IGNORES DepthBounds.csv; a synthetic DTU
+        scene whose geometry lies outside them is unfittable (samples never
+        reach it) — this silently stalled the first DTU protocol run (scene
+        depths 3..9 vs far=5) and fed the dead-sigma collapse. Guard the
+        contract: make_dtu_scene's geometry must keep every rendered z-depth
+        strictly inside the loader's fixed bounds with margin."""
+        import numpy as np
+
+        from vipnerf_tpu.data.loaders.base import DTU_SPEC
+        from vipnerf_tpu.data.synthetic import make_dtu_scene
+
+        dtu_scene, dtu_ring = make_dtu_scene()
+        gt = write_synthetic_database(
+            tmp_path / "data/databases",
+            dataset="DTU",
+            scene_name="00021",
+            num_frames=6,
+            train_frames=(0, 5),
+            val_frames=(2,),
+            height=60,
+            width=80,
+            scene=dtu_scene,
+            **dtu_ring,
+        )
+        near, far = DTU_SPEC.fixed_bounds
+        depths = gt["depths"]
+        assert np.isfinite(depths).all()
+        # margin: the preprocessor samples from 0.9*near (non-NDC policy)
+        assert depths.min() > near * 1.5, depths.min()
+        assert depths.max() < far * 0.9, depths.max()

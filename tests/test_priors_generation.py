@@ -14,7 +14,10 @@ import json
 import numpy as np
 import pytest
 
-from vipnerf_tpu.data.synthetic import write_synthetic_database
+from vipnerf_tpu.data.synthetic import (
+    make_dtu_scene,
+    write_synthetic_database,
+)
 from vipnerf_tpu.priors.cli import (
     build_sparse_depth_configs,
     build_visibility_configs,
@@ -118,6 +121,7 @@ class TestVisibilityGenerationDTU:
     def test_dtu_layout_linear_planes(self, tmp_path):
         """DTU path: scene_num keys -> zero-padded dirs, fixed bounds
         [0.1, 5], LINEAR depth planes, full-res rgb (no suffix)."""
+        dtu_scene, dtu_ring = make_dtu_scene()
         write_synthetic_database(
             tmp_path / "data/databases",
             dataset="DTU",
@@ -129,6 +133,8 @@ class TestVisibilityGenerationDTU:
             width=32,
             with_visibility_prior=False,
             with_sparse_depth=False,
+            scene=dtu_scene,
+            **dtu_ring,
         )
         main_visibility(
             ["--database", "DTU", "--gen_nums", "2",

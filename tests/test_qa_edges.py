@@ -16,7 +16,10 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from vipnerf_tpu.data.synthetic import write_synthetic_database
+from vipnerf_tpu.data.synthetic import (
+    make_dtu_scene,
+    write_synthetic_database,
+)
 
 
 def _llff_config(root: Path, **dl_overrides):
@@ -232,6 +235,7 @@ class TestDtuMaskedQa:
         from vipnerf_tpu.utils.io import read_image, save_image
 
         db_root = tmp_path / "data/databases"
+        dtu_scene, dtu_ring = make_dtu_scene()
         gt = write_synthetic_database(
             db_root,
             dataset="DTU",
@@ -241,6 +245,8 @@ class TestDtuMaskedQa:
             val_frames=(),
             height=24,
             width=32,
+            scene=dtu_scene,
+            **dtu_ring,
         )
         db_dir = db_root / "DTU/data"
         # DTU scene dirs are zero-padded numbers — the writer now applies

@@ -49,6 +49,7 @@ def main():
 
     from vipnerf_tpu.data.synthetic import (
         make_camera_ring,
+        make_dtu_scene,
         write_synthetic_database,
     )
     from vipnerf_tpu.utils.io import save_image
@@ -64,6 +65,9 @@ def main():
     db_marker = db_dir / ".synthetic_db_complete"
     if not db_marker.exists():
         print("generating synthetic DTU database...", flush=True)
+        # scene geometry sized to the DTU loader's FIXED [0.1, 5] bounds
+        # (DtuDataLoader01.py:66) — see make_dtu_scene for why this matters
+        scene, ring_kwargs = make_dtu_scene()
         gt = write_synthetic_database(
             db_root,
             dataset="DTU",
@@ -73,6 +77,8 @@ def main():
             val_frames=(2,),
             height=args.height,
             width=args.width,
+            scene=scene,
+            **ring_kwargs,
         )
         # RegNeRF-style object masks for the masked metric quartet
         # (reference MaskedRMSE05_DTU.py:62 reads ObjectMasks/{frame:04}.png)
@@ -85,7 +91,12 @@ def main():
         # video_poses CSVs per dataset; DTU is object-centric, so a ring)
         poses_dir = db_dir / "train_test_sets/set02/video_poses01"
         poses_dir.mkdir(parents=True, exist_ok=True)
-        track = make_camera_ring(args.video_frames + 1, spread_deg=60.0)
+        track = make_camera_ring(
+            args.video_frames + 1,
+            spread_deg=60.0,
+            radius=ring_kwargs["ring_radius"],
+            height=ring_kwargs["ring_height"],
+        )
         np.savetxt(
             poses_dir / "00021.csv",
             track.reshape(args.video_frames + 1, 16),

@@ -104,6 +104,29 @@ class SphereScene:
         return color, z_depth
 
 
+def make_dtu_scene(seed: int = 0):
+    """Scene + camera-rig geometry that fits the DTU dataset contract.
+
+    The DTU loader uses FIXED depth bounds [0.1, 5] regardless of the scene
+    (matching /root/reference/src/data_loaders/DtuDataLoader01.py:66 — real
+    DTU data is scale_mat-normalized into those bounds by the database
+    builder). A synthetic DTU scene must therefore keep every ray's z-depth
+    inside [0.1, 5]: the default rig (cameras at radius 3 inside a shell of
+    radius 6, depths 3..9) silently puts most of the scene BEYOND far=5,
+    making it unfittable (sampling never reaches it) — which stalls MSE and
+    sparse-depth losses and, under the loss-conflict dynamics documented in
+    BASELINE.md, eventually triggers the dead-sigma collapse.
+
+    Geometry here: cameras at radius 1.2 (height 0.25, |eye| ~= 1.23) inside
+    a shell of radius 2.2 -> z-depths in ~[0.4, 3.5], comfortably inside the
+    fixed bounds.
+
+    Returns (scene, ring_kwargs) for write_synthetic_database.
+    """
+    scene = SphereScene(seed=seed, shell_radius=2.2)
+    return scene, {"ring_radius": 1.2, "ring_height": 0.25}
+
+
 def make_camera_ring(
     num_cameras: int,
     radius: float = 3.0,
@@ -139,6 +162,8 @@ def write_synthetic_database(
     with_visibility_prior: bool = True,
     visibility_dirname: str = "VW02",
     scene: Optional[SphereScene] = None,
+    ring_radius: float = 3.0,
+    ring_height: float = 0.4,
 ) -> Dict[str, np.ndarray]:
     """Write a synthetic scene in the reference database layout.
 
@@ -166,7 +191,9 @@ def write_synthetic_database(
     intrinsic = np.array(
         [[focal, 0, width / 2.0], [0, focal, height / 2.0], [0, 0, 1.0]]
     )
-    extrinsics = make_camera_ring(num_frames)
+    extrinsics = make_camera_ring(
+        num_frames, radius=ring_radius, height=ring_height
+    )
 
     images, depths = [], []
     for i in range(num_frames):
