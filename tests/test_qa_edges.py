@@ -254,13 +254,17 @@ class TestDtuMaskedQa:
         scene_dir05 = db_dir / "all/database_data/00001"
         assert scene_dir05.is_dir()
 
-        # object masks: foreground spheres
+        # object masks: the nearer ~40% of each frame (geometry-relative —
+        # the DTU-contract scene keeps ALL depths inside [0.1, 5], so an
+        # absolute threshold would mask everything and leave no "outside"
+        # region for the unmasked metrics to see)
         masks_dir = scene_dir05 / "ObjectMasks"
         masks_dir.mkdir()
         rng = np.random.default_rng(0)
         test_frames = [1, 2]
         for f in range(4):
-            mask = (gt["depths"][f] < 5.0).astype(np.uint8) * 255
+            thresh = np.percentile(gt["depths"][f], 40)
+            mask = (gt["depths"][f] < thresh).astype(np.uint8) * 255
             save_image(masks_dir / f"{f:04}.png", mask)
 
         # predictions: heavy noise outside the mask, near-perfect (+-1 LSB,
