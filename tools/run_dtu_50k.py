@@ -81,12 +81,25 @@ def main():
             **ring_kwargs,
         )
         # RegNeRF-style object masks for the masked metric quartet
-        # (reference MaskedRMSE05_DTU.py:62 reads ObjectMasks/{frame:04}.png)
+        # (reference MaskedRMSE05_DTU.py:62 reads ObjectMasks/{frame:04}.png).
+        # Real DTU masks cover the scanned OBJECT, not the frame: mark the
+        # sphere hits (pixels whose depth is strictly inside the background
+        # shell's own depth at that pixel) so Masked* metrics measure a
+        # genuinely different pixel set from the unmasked ones.
+        from vipnerf_tpu.data.synthetic import SphereScene
+
+        background = SphereScene(
+            seed=0, num_spheres=0, shell_radius=scene.shell_radius
+        )
         masks_dir = scene_dir / "ObjectMasks"
         masks_dir.mkdir(exist_ok=True)
         for f in range(6):
-            mask = (gt["depths"][f] > 0).astype(np.uint8) * 255
-            save_image(masks_dir / f"{f:04}.png", mask)
+            _, shell_depth = background.render(
+                gt["extrinsics"][f], gt["intrinsics"][f],
+                args.height, args.width,
+            )
+            mask = (gt["depths"][f] < shell_depth - 1e-6)
+            save_image(masks_dir / f"{f:04}.png", mask.astype(np.uint8) * 255)
         # circular track around the object (the reference repo ships
         # video_poses CSVs per dataset; DTU is object-centric, so a ring)
         poses_dir = db_dir / "train_test_sets/set02/video_poses01"
