@@ -228,6 +228,45 @@ class TestShardedRendering:
                         val, l_map[name], rtol=1e-5, atol=1e-7
                     ), name
 
+    def test_losses_tile_size_invariant(self):
+        """Pad rays are excluded from the loss and tiles merge weighted by
+        real ray count, so the merged loss scalars equal the exact
+        whole-frame (single-tile) values for ANY tile size — including ones
+        that do not divide the ray count (round-5 ADVICE fix; previously the
+        edge-duplicated pad rays biased the final tile's mean)."""
+        configs = small_configs()
+        init_fn, render_fn = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        lc = LossComputer(configs)
+        batch = _render_batch()
+        batch["target_rgb"] = jnp.asarray(
+            np.random.default_rng(9).uniform(size=(300, 3)).astype(np.float32)
+        )
+        batch["indices_mask_nerf"] = jnp.ones((300,), bool)
+        batch["num_frames"] = 3
+        batch["iter_num"] = 0
+
+        renderer = TiledRenderer(render_fn, configs, loss_computer=lc)
+        kwargs = dict(with_losses=True, retraw=True)
+        # chunk 300 = one exact tile: the unbiased whole-frame reference
+        _, l_exact = renderer.render(
+            params, batch, chunk_size=300, single_dispatch=True, **kwargs
+        )
+        for chunk in (64, 100, 299):  # padding, exact division, 1-ray tail
+            for sd in (True, False):
+                _, l_tiled = renderer.render(
+                    params, batch, chunk_size=chunk, single_dispatch=sd,
+                    **kwargs,
+                )
+                for name, val in l_exact.items():
+                    a = val["loss_value"] if isinstance(val, dict) else val
+                    bv = l_tiled[name]
+                    b = bv["loss_value"] if isinstance(bv, dict) else bv
+                    assert np.isclose(a, b, rtol=1e-5, atol=1e-7), (
+                        f"{name} chunk={chunk} single_dispatch={sd}: "
+                        f"{a} vs {b}"
+                    )
+
     def test_tile_rounding_to_mesh_multiple(self):
         """chunk_size not divisible by the mesh size still works (rounded
         down to a multiple, min one per device)."""

@@ -238,11 +238,18 @@ def write_synthetic_database(
         lines = [f"{scene_key},pred_frame_num"]
         if path.exists():
             existing = path.read_text().splitlines()
-            if existing and existing[0] == lines[0]:
-                lines += [
-                    row for row in existing[1:]
-                    if row and row.split(",")[0] != str(scene_val)
-                ]
+            if existing and existing[0] != lines[0]:
+                # A stale CSV from a different dataset/scene_key in the same
+                # sets dir: overwriting would silently drop its rows and
+                # shrink a multi-scene split.
+                raise ValueError(
+                    f"{path} header {existing[0]!r} does not match expected "
+                    f"{lines[0]!r}; refusing to overwrite a foreign split CSV"
+                )
+            lines += [
+                row for row in existing[1:]
+                if row and row.split(",")[0] != str(scene_val)
+            ]
         lines += [f"{scene_val},{f}" for f in frames]
         path.write_text("\n".join(lines) + "\n")
 

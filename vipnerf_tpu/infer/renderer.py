@@ -70,6 +70,23 @@ def preview_configs(
     return out
 
 
+# Boolean ray masks the losses select on; pad rows must be zeroed here or the
+# edge-duplicated pad rays bias the final tile's loss mean (the reference
+# slices exact chunks instead, Trainer01.py divide_input_batch_). `ray_valid`
+# is injected by render() for loss renders so unmasked losses
+# (VisibilityLoss01) can also exclude pad rows.
+_LOSS_MASK_KEYS = ("indices_mask_nerf", "indices_mask_sparse_depth",
+                   "ray_valid")
+
+
+def _tile_ray_counts(num_rays: int, tile: int) -> np.ndarray:
+    """Real (non-pad) ray count per tile; only the last tile is partial."""
+    num_tiles = (num_rays + tile - 1) // tile
+    counts = np.full((num_tiles,), tile, np.float64)
+    counts[-1] = num_rays - (num_tiles - 1) * tile
+    return counts
+
+
 def _split_batch(batch: Dict[str, Any], num_rays: int, tile: int):
     """Pad ray-axis fields to a multiple of `tile` and yield tiles."""
     num_tiles = (num_rays + tile - 1) // tile
@@ -84,7 +101,10 @@ def _split_batch(batch: Dict[str, Any], num_rays: int, tile: int):
     for k, v in batch.items():
         if k in ray_keys and padded != num_rays:
             pad_width = [(0, padded - num_rays)] + [(0, 0)] * (v.ndim - 1)
-            padded_batch[k] = jnp.pad(v, pad_width, mode="edge")
+            if k in _LOSS_MASK_KEYS:
+                padded_batch[k] = jnp.pad(v, pad_width)  # pads masked OUT
+            else:
+                padded_batch[k] = jnp.pad(v, pad_width, mode="edge")
         else:
             padded_batch[k] = v
 
@@ -215,6 +235,10 @@ class TiledRenderer:
         Trainer01.py:147-172), loss maps are gathered in one transfer.
         """
         nr = int(batch["rays_o"].shape[0])
+        if with_losses and "ray_valid" not in batch:
+            # Pad rows get ray_valid=False (zero-padded via _LOSS_MASK_KEYS)
+            # so losses without an indices mask also skip them.
+            batch = {**batch, "ray_valid": jnp.ones((nr,), bool)}
         mult = self._tile_multiple()
         tile = min(chunk_size, nr)
         tile = max(mult, (tile // mult) * mult)  # divisible across the mesh
@@ -272,12 +296,21 @@ class TiledRenderer:
 
         merged_losses = None
         if loss_parts:
+            # Ray-count-weighted merge: pad rays are masked out of each
+            # tile's mean above, and weighting by real ray count makes the
+            # merged scalar tile-size-invariant (equal to the whole-frame
+            # masked mean), unlike the reference's unweighted chunk-mean
+            # merge which over-weights a partial final chunk.
+            wts = _tile_ray_counts(nr, tile)
+            wmean = lambda vals: float(  # noqa: E731
+                np.sum(wts * np.asarray(vals, np.float64)) / np.sum(wts)
+            )
             merged_losses = {}
             for name, val in loss_parts[0].items():
                 if isinstance(val, dict):
                     merged_losses[name] = {
-                        "loss_value": float(
-                            np.mean([p[name]["loss_value"] for p in loss_parts])
+                        "loss_value": wmean(
+                            [p[name]["loss_value"] for p in loss_parts]
                         )
                     }
                     if return_loss_maps and "loss_maps" in val:
@@ -288,8 +321,8 @@ class TiledRenderer:
                             for mk in val["loss_maps"]
                         }
                 else:  # TotalLoss scalar
-                    merged_losses[name] = float(
-                        np.mean([p[name] for p in loss_parts])
+                    merged_losses[name] = wmean(
+                        [p[name] for p in loss_parts]
                     )
         return outputs, merged_losses
 
@@ -349,7 +382,11 @@ class TiledRenderer:
             if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == nr:
                 if padded != nr:
                     pad_width = [(0, padded - nr)] + [(0, 0)] * (v.ndim - 1)
-                    v = jnp.pad(v, pad_width, mode="edge")
+                    # pad rows are masked OUT of the losses (_LOSS_MASK_KEYS
+                    # zero-padded) so the final tile's loss mean covers only
+                    # real rays
+                    mode = "constant" if k in _LOSS_MASK_KEYS else "edge"
+                    v = jnp.pad(v, pad_width, mode=mode)
                 tiled_batch[k] = v.reshape((num_tiles, tile) + v.shape[1:])
             else:
                 const_batch[k] = v
@@ -365,11 +402,16 @@ class TiledRenderer:
         }
         merged_losses = None
         if with_losses:
+            # Same ray-count-weighted merge as the eager path (see there).
+            wts = _tile_ray_counts(nr, tile)
+            wmean = lambda vals: float(  # noqa: E731
+                np.sum(wts * np.asarray(vals, np.float64)) / np.sum(wts)
+            )
             merged_losses = {}
             for name, val in stacked_losses.items():
                 if isinstance(val, dict):
                     merged_losses[name] = {
-                        "loss_value": float(np.mean(val["loss_value"]))
+                        "loss_value": wmean(val["loss_value"])
                     }
                     if return_loss_maps and "loss_maps" in val:
                         merged_losses[name]["loss_maps"] = {
@@ -379,5 +421,5 @@ class TiledRenderer:
                             for mk, mv in val["loss_maps"].items()
                         }
                 else:  # TotalLoss scalar -> (num_tiles,)
-                    merged_losses[name] = float(np.mean(val))
+                    merged_losses[name] = wmean(val)
         return outputs, merged_losses

@@ -78,7 +78,17 @@ def visibility_loss(configs: Dict[str, Any], loss_configs: Dict[str, Any]):
             map2 = jnp.mean(
                 jnp.abs(jax.lax.stop_gradient(pred) - target), axis=1
             )
-            total = total + jnp.mean(map1) + jnp.mean(map2)
+            # The reference averages over ALL rays (VisibilityLoss01 has no
+            # indices mask); `ray_valid` is only injected by the tiled
+            # renderer to exclude its pad rows — absent in training batches.
+            if "ray_valid" in batch:
+                total = (
+                    total
+                    + _masked_mean(map1, batch["ray_valid"])
+                    + _masked_mean(map2, batch["ray_valid"])
+                )
+            else:
+                total = total + jnp.mean(map1) + jnp.mean(map2)
             if return_loss_maps:
                 loss_maps[f"VisibilityLoss01_{suffix}"] = map1 + map2
         out = {"loss_value": total}

@@ -21,6 +21,7 @@ differences from the reference numpy implementation:
   VisibilityMask02_NeRF_LLFF.py:275-276); here each pair uses its own poses.
 """
 
+import time
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -247,6 +248,7 @@ def start_generation(gen_configs: Dict, root_dirpath: Optional[Path] = None):
                 }
                 if all(p.exists() for p in paths.values()):
                     continue
+                t_pair = time.time()
                 frame1 = load_frame(f1)
                 frame2 = load_frame(f2)
                 e1 = jnp.asarray(extrinsics[i1], jnp.float32)
@@ -263,6 +265,12 @@ def start_generation(gen_configs: Dict, root_dirpath: Optional[Path] = None):
                     _compute_visibility_weights_jit(
                         frame2, frame1, e2, e1, k2, k1, depth_planes, temperature
                     )
+                )
+                print(
+                    f"  {scene_dir} pair {f1:04}<->{f2:04}: both directions "
+                    f"({num_planes} planes, {frame1.shape[0]}x{frame1.shape[1]}) "
+                    f"in {time.time() - t_pair:.2f}s",
+                    flush=True,
                 )
                 for w_arr, wp, mp in (
                     (weights1, paths["w1"], paths["m1"]),

@@ -341,7 +341,12 @@ class Trainer:
         now safe for the loss path too since losses ride inside the lax.map
         single-dispatch program (one host round trip per frame either way).
         `validation_chunk_size` keeps its reference meaning
-        (src/Trainer01.py:181) as an upper bound."""
+        (src/Trainer01.py:181) as an upper bound. Validation loss scalars are
+        TILE-SIZE-INVARIANT: the renderer excludes pad rays and merges tiles
+        weighted by real ray count, so the logged value equals the
+        whole-frame masked mean regardless of the tile choice (round-5 fix;
+        values logged by earlier rounds used an unweighted per-tile-mean
+        merge and can differ in the last digits)."""
         chunk_size = self.configs.get("validation_tile_size") or min(
             self.configs["validation_chunk_size"], 8192
         )
