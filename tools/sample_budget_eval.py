@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--fines", type=int, nargs="*", default=[128, 64, 32, 16, 8])
     ap.add_argument("--coarse", type=int, default=None,
                     help="optionally also override the coarse sample count")
+    ap.add_argument("--previews", type=int, nargs="*", default=[],
+                    help="also score coarse-ONLY preview renders at these "
+                    "coarse sample counts (0 = the trained count) — gives "
+                    "the preview mode the PSNR measurement the budget sweep "
+                    "gave 32+8")
     ap.add_argument("--frames", type=int, nargs="*", default=[2])
     args = ap.parse_args()
 
@@ -105,14 +110,14 @@ def main():
             continue
         sweep.append((args.coarse or base_coarse, k))
 
-    for n_coarse, n_fine in sweep:
+    def score(test_configs, n_coarse, n_fine, label=""):
         cfg = json.loads(json.dumps(train_configs))  # deep copy
-        cfg["model"]["coarse_mlp"]["num_samples"] = n_coarse
-        cfg["model"]["fine_mlp"]["num_samples"] = n_fine
+        if n_fine is not None:
+            cfg["model"]["coarse_mlp"]["num_samples"] = n_coarse
+            cfg["model"]["fine_mlp"]["num_samples"] = n_fine
         cfg["root_dirpath"] = str(Path(args.db_root).parents[3])
         tester = NerfTester(
-            cfg, model_configs, {"device": "all", "chunk_size": 8192},
-            Path(cfg["root_dirpath"]),
+            cfg, model_configs, test_configs, Path(cfg["root_dirpath"]),
         )
         tester.load_model(scene_dir / f"saved_models/{args.ckpt}")
         scores, dts = [], []
@@ -123,9 +128,23 @@ def main():
             )
             dts.append(time.time() - t0)
             scores.append(psnr(pred["image"].astype(np.float64), gts[f]))
-        pts = n_coarse + (n_coarse + n_fine)  # coarse pass + merged fine pass
-        print(f"{n_coarse:>7}{n_fine:>6}{pts:>11}"
-              f"{np.mean(scores):>8.2f}{np.mean(dts):>9.1f}", flush=True)
+        # cost model: coarse pass + merged (coarse+fine) fine pass
+        pts = n_coarse if n_fine is None else n_coarse + (n_coarse + n_fine)
+        print(f"{n_coarse:>7}{n_fine if n_fine is not None else '--':>6}"
+              f"{pts:>11}{np.mean(scores):>8.2f}{np.mean(dts):>9.1f}  {label}",
+              flush=True)
+
+    for n_coarse, n_fine in sweep:
+        score({"device": "all", "chunk_size": 8192}, n_coarse, n_fine)
+
+    for n in args.previews:
+        # the tester's own preview mode: coarse-only render configs via
+        # preview_configs, trained checkpoint loaded unchanged
+        preview = int(n) if n else True
+        score(
+            {"device": "all", "chunk_size": 8192, "preview": preview},
+            int(n) or base_coarse, None, label="coarse-only preview",
+        )
 
 
 if __name__ == "__main__":
