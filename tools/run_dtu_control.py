@@ -80,6 +80,11 @@ def main():
             height=args.height,
             width=args.width,
             scene=scene,
+            # set03 consumes DE03; VW03 comes from the REAL generator below
+            # (the DTU linear-plane policy), not hand-written masks — this
+            # control run doubles as DTU-branch generator evidence.
+            sparse_depth_dirname=f"DE{SET_NUM:02}",
+            with_visibility_prior=False,
             **ring_kwargs,
         )
         background = SphereScene(
@@ -114,6 +119,18 @@ def main():
         )
         db_marker.touch()
     print(f"db ready in {time.time() - t0:.0f}s", flush=True)
+
+    # generate VW03 with the real DTU generator (128 LINEAR planes over the
+    # fixed [0.1, 5] bounds, priors/cli.py policy table) — idempotent resume
+    from vipnerf_tpu.priors.cli import main_visibility
+
+    t_gen = time.time()
+    main_visibility([
+        "--database", "DTU", "--gen_nums", str(SET_NUM),
+        "--root_dirpath", str(workdir),
+    ])
+    print(f"DTU PRIOR GENERATION WALL CLOCK: {time.time() - t_gen:.1f}s "
+          f"({len(TRAIN_FRAMES)} views)", flush=True)
 
     os.chdir(workdir)
     from vipnerf_tpu.apps import dtu
