@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--fine", type=int, default=8)
     ap.add_argument("--preview", action="store_true",
                     help="also sweep the coarse-only preview configs")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="timed renders per config (median reported) — the "
+                    "tunneled backend adds ~±5%% single-shot jitter, so "
+                    "re-measure the shortlisted candidates with >=5")
     args = ap.parse_args()
 
     import jax
@@ -136,9 +140,12 @@ def main():
                 t0 = time.time()
                 renderer.render(params, test_batch, **kwargs)  # compile+warm
                 compile_s = time.time() - t0
-                t0 = time.time()
-                renderer.render(params, test_batch, **kwargs)
-                fps = 1.0 / (time.time() - t0)
+                times = []
+                for _ in range(args.repeats):
+                    t0 = time.time()
+                    renderer.render(params, test_batch, **kwargs)
+                    times.append(time.time() - t0)
+                fps = 1.0 / float(np.median(times))
                 print(f"{label:>22}{tile:>8}{nc:>10}{compile_s:>11.1f}"
                       f"{fps:>8.4f}", flush=True)
                 if fps > best.get(label, (0, None))[0]:
