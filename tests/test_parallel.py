@@ -12,6 +12,7 @@ from types import SimpleNamespace
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vipnerf_tpu.infer.renderer import TiledRenderer
 from vipnerf_tpu.losses import LossComputer
@@ -227,6 +228,66 @@ class TestShardedRendering:
                     assert np.isclose(
                         val, l_map[name], rtol=1e-5, atol=1e-7
                     ), name
+
+    def test_single_dispatch_internal_error_falls_back_to_eager(self):
+        """A backend INTERNAL compile failure of the lax.map single-dispatch
+        program (seen in practice: libtpu regalloc RET_CHECK on the DTU
+        3-view validation render) must not kill the run: the renderer falls
+        back to the eager per-tile path with identical outputs/losses, and
+        subsequent calls skip the broken program without re-compiling it."""
+        configs = small_configs()
+        init_fn, render_fn = get_model(configs)
+        params = init_fn(jax.random.PRNGKey(0), configs)
+        lc = LossComputer(configs)
+        batch = _render_batch()
+        batch["target_rgb"] = jnp.asarray(
+            np.random.default_rng(9).uniform(size=(300, 3)).astype(np.float32)
+        )
+        batch["indices_mask_nerf"] = jnp.ones((300,), bool)
+        batch["num_frames"] = 3
+        batch["iter_num"] = 0
+        kwargs = dict(chunk_size=64, with_losses=True, retraw=True)
+
+        ref = TiledRenderer(render_fn, configs, loss_computer=lc)
+        out_ref, l_ref = ref.render(
+            params, batch, single_dispatch=False, **kwargs
+        )
+
+        renderer = TiledRenderer(render_fn, configs, loss_computer=lc)
+        key = ("single", False, True, None, False, 64, True, False)
+        calls = []
+
+        def broken_program(*a, **k):
+            calls.append(1)
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: AOT PJRT error: RET_CHECK failure "
+                "(regalloc/lsrav2/live_range_finder.cc:29)"
+            )
+
+        renderer._jitted[key] = broken_program
+        out, losses = renderer.render(
+            params, batch, single_dispatch=True, **kwargs
+        )
+        assert len(calls) == 1
+        assert key in renderer._sd_broken and key not in renderer._jitted
+        for k in out_ref:
+            np.testing.assert_allclose(out_ref[k], out[k], atol=1e-6)
+        assert np.isclose(l_ref["TotalLoss"], losses["TotalLoss"], rtol=1e-6)
+
+        # Second call: straight to eager, no retry of the broken program.
+        out2, _ = renderer.render(params, batch, single_dispatch=True, **kwargs)
+        assert len(calls) == 1
+        np.testing.assert_allclose(out["rgb_coarse"], out2["rgb_coarse"])
+
+        # Non-INTERNAL runtime errors still propagate.
+        renderer2 = TiledRenderer(render_fn, configs, loss_computer=lc)
+
+        def oom_program(*a, **k):
+            raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: oom")
+
+        renderer2._jitted[key] = oom_program
+        with pytest.raises(jax.errors.JaxRuntimeError, match="RESOURCE"):
+            renderer2.render(params, batch, single_dispatch=True, **kwargs)
 
     def test_losses_tile_size_invariant(self):
         """Pad rays are excluded from the loss and tiles merge weighted by

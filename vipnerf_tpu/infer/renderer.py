@@ -138,6 +138,10 @@ class TiledRenderer:
         self.loss_computer = loss_computer
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self._jitted: Dict[Tuple, Callable] = {}
+        # Single-dispatch program keys that tripped an INTERNAL backend
+        # compiler error; such keys permanently delegate to the eager path
+        # (retrying would re-pay the failed multi-minute compile per frame).
+        self._sd_broken: set = set()
 
     # ------------------------------------------------------------- sharding
 
@@ -252,9 +256,25 @@ class TiledRenderer:
                 tuple(keep) if keep is not None else None, uint8_rgb,
                 with_losses=with_losses, return_loss_maps=return_loss_maps,
             )
+        return self._render_eager(
+            params, batch, nr, tile, sec_views_vis, retraw,
+            tuple(keep) if keep is not None else None, uint8_rgb,
+            with_losses=with_losses, return_loss_maps=return_loss_maps,
+        )
+
+    def _render_eager(
+        self, params, batch, nr, tile, sec_views_vis, retraw, keep, uint8_rgb,
+        with_losses=False, return_loss_maps=False,
+    ):
+        """Per-tile host loop: one jitted single-tile program, dispatched
+        eagerly per tile (fetch once at the end). Slower than the lax.map
+        single-dispatch path on remote-tunnel backends (one host round trip
+        per tile) but compiles a structurally simpler XLA program — also the
+        automatic fallback when the single-dispatch program trips an internal
+        backend compiler error (see _render_single_dispatch)."""
         fn = self._get_tile_fn(
             sec_views_vis, retraw, with_losses, return_loss_maps,
-            tuple(keep) if keep is not None else None, uint8_rgb,
+            keep, uint8_rgb,
         )
 
         if self.mesh is not None:
@@ -338,6 +358,12 @@ class TiledRenderer:
         path (mean over tiles; loss maps concatenated and cropped)."""
         key = ("single", sec_views_vis, retraw, keep, uint8_rgb, tile,
                with_losses, return_loss_maps)
+        if key in self._sd_broken:
+            return self._render_eager(
+                params, batch, nr, tile, sec_views_vis, retraw, keep,
+                uint8_rgb, with_losses=with_losses,
+                return_loss_maps=return_loss_maps,
+            )
         fn = self._jitted.get(key)
         if fn is None:
             keep_keys = keep if keep is not None else _KEEP_KEYS
@@ -394,7 +420,32 @@ class TiledRenderer:
             tiled_batch, const_batch, params = self._shard_tile_batch(
                 tiled_batch, const_batch, params
             )
-        result = jax.device_get(fn(params, tiled_batch, const_batch))
+        try:
+            result = jax.device_get(fn(params, tiled_batch, const_batch))
+        except jax.errors.JaxRuntimeError as e:
+            # Backend compiler bugs (e.g. libtpu regalloc RET_CHECK failures,
+            # surfaced as INTERNAL) are program-shape-specific: the lax.map
+            # whole-frame program can fail where the standalone single-tile
+            # program compiles fine. Fall back to the eager tile loop rather
+            # than killing the run — correctness is identical (same tile
+            # body, same ray-count-weighted merge), only dispatch differs.
+            if "INTERNAL" not in str(e):
+                raise
+            print(
+                "WARNING: single-dispatch render program failed to compile "
+                f"(key={key}): {str(e).splitlines()[0]}\n"
+                "Falling back to the eager per-tile render path for this "
+                "program; set validation_tile_size to a different tile to "
+                "retry single-dispatch with a new program shape.",
+                flush=True,
+            )
+            self._sd_broken.add(key)
+            self._jitted.pop(key, None)
+            return self._render_eager(
+                params, batch, nr, tile, sec_views_vis, retraw, keep,
+                uint8_rgb, with_losses=with_losses,
+                return_loss_maps=return_loss_maps,
+            )
         stacked, stacked_losses = result if with_losses else (result, None)
         outputs = {
             k: np.asarray(v).reshape((padded,) + v.shape[2:])[:nr]

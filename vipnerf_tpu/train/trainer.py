@@ -350,6 +350,10 @@ class Trainer:
         chunk_size = self.configs.get("validation_tile_size") or min(
             self.configs["validation_chunk_size"], 8192
         )
+        # Escape hatch for backend compiler bugs: validation_single_dispatch
+        # False forces the eager per-tile path (the renderer also falls back
+        # automatically when the single-dispatch compile fails INTERNAL).
+        single_dispatch = self.configs.get("validation_single_dispatch")
         save_loss_maps = self.configs.get("validation_save_loss_maps", False)
         h, w = data_preprocessor.resolution
         is_train_data = data_preprocessor.mode == "train"
@@ -369,6 +373,7 @@ class Trainer:
                 retraw=True,
                 with_losses=True,
                 return_loss_maps=save_loss_maps,
+                single_dispatch=single_dispatch,
             )
             for name, val in losses.items():
                 v = val["loss_value"] if isinstance(val, dict) else val
