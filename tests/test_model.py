@@ -275,6 +275,43 @@ class TestRenderRays:
         )
         assert out["visibility2_fine"].shape == (8, 2)
 
+    def test_infer_netchunk_scaling_formula(self):
+        """3+-view inference scales the point chunk down to hold the chunk
+        body's footprint at the <=2-view proven level (262144 at 2 secondary
+        views RET_CHECKed this environment's libtpu regalloc — see
+        tools/resume_dtu_control.py)."""
+        f = vip_nerf._scale_infer_netchunk
+        assert f(262144, 0) == 262144
+        assert f(262144, 1) == 262144  # 2-view protocol runs: unchanged
+        assert f(262144, 2) == 131072  # DTU demo1b: the live-proven dodge
+        assert f(262144, 3) == 87381  # DTU demo1c
+        assert f(262144, 32) == 16384  # floor
+        assert f(4096, 2) == 4096  # explicit small chunks are respected
+
+    def test_infer_netchunk_chunking_invariant_with_secondary_views(self):
+        """Point-chunking must never change rendered values, including on the
+        secondary-view visibility path the auto-scaling affects (nr=16,
+        ns=8+16, nf_m1=2; fine level chunks 256 points into 2 map steps)."""
+        configs = small_configs(netchunk_map_infer=0)
+        params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)
+        batch = make_batch(nr=16, nf=3)
+        ref = vip_nerf.render_rays(
+            params, configs, batch, train=False, sec_views_vis=True,
+            retraw=True,
+        )
+
+        chunked_cfg = small_configs(netchunk_map_infer=128)
+        out = vip_nerf.render_rays(
+            params, chunked_cfg, batch, train=False, sec_views_vis=True,
+            retraw=True,
+        )
+        assert set(ref) == set(out)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(ref[k]), np.asarray(out[k]), atol=1e-6, rtol=1e-6,
+                err_msg=k,
+            )
+
     def test_gradients_flow(self):
         configs = small_configs()
         params = vip_nerf.init_params(jax.random.PRNGKey(0), configs)

@@ -196,6 +196,22 @@ def _run_mlp_on_samples(
     }
 
 
+def _scale_infer_netchunk(netchunk: int, num_sec_views: int) -> int:
+    """Hold the inference point-chunk body's footprint at the proven level
+    as the secondary-view count grows.
+
+    The compiled chunk body's work and vmem footprint grow linearly with the
+    secondary-view count (vd2 is (chunk, nf-1, 3) and each view adds a
+    visibility MLP branch). netchunk_map_infer's 262144 default was proven
+    at <=1 secondary view; at 2 (3 input views, DTU demo1b) the same chunk
+    RET_CHECKed this environment's libtpu regalloc (live_range_finder.cc:29,
+    tile-size-independent — see tools/resume_dtu_control.py). 131072 at 2
+    views is the dodge validated live on the TPU; the floor never scales an
+    already-small explicit chunk further down."""
+    scaled = netchunk // max(1, num_sec_views)
+    return max(min(netchunk, 16384), scaled)
+
+
 def render_rays(
     params: Params,
     configs: Dict[str, Any],
@@ -257,6 +273,9 @@ def render_rays(
             rays_o2 = batch["rays_o2"]
         else:
             rays_o2 = _gather_secondary_origins(batch["poses"], batch["pixel_id"])
+
+    if not train and netchunk_map and rays_o2 is not None:
+        netchunk_map = _scale_infer_netchunk(netchunk_map, rays_o2.shape[1])
 
     keys = (
         jax.random.split(rng, 4)
