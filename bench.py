@@ -316,20 +316,31 @@ def main():
             print(f"# budget render bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    # ---- coarse-only preview rendering (beyond-reference feature) ----
+    # ---- preview mode (beyond-reference feature) ----
+    # `preview: true` IS the 32+8 reduced-budget full pipeline since round 5:
+    # coarse-only preview was retired with a measurement (13.5 dB held-out vs
+    # 20.5 at 32+8 / 24.1 at full 64+128 on a trained 3-view DTU checkpoint,
+    # bit-identical to the full render's own rgb_coarse map — the coarse MLP
+    # is an importance-sampling field, not a usable image; BASELINE.md
+    # round-5). The budget measurement above therefore IS the preview
+    # operating point; measure it through preview_budget_configs so the
+    # metric exercises the product path.
     preview_fps = None
     if os.environ.get("BENCH_PREVIEW", "1") == "1" and render_fps is None:
         print("# preview bench skipped: render bench did not run "
               "(it provides the test batch)", file=sys.stderr)
     if os.environ.get("BENCH_PREVIEW", "1") == "1" and render_fps is not None:
         try:
-            from vipnerf_tpu.infer.renderer import TiledRenderer, preview_configs
+            from vipnerf_tpu.infer.renderer import (
+                TiledRenderer,
+                preview_budget_configs,
+            )
 
-            pcfg = preview_configs(configs)
+            pcfg = preview_budget_configs(configs)
             previewer = TiledRenderer(render_fn, pcfg)
             kwargs_p = dict(
                 chunk_size=int(os.environ.get("BENCH_RENDER_TILE", "8192")),
-                keep=("rgb_coarse", "depth_coarse"),
+                keep=("rgb_fine", "depth_fine"),
                 uint8_rgb=True,
             )
             previewer.render(params, test_batch, **kwargs_p)  # compile+warm
@@ -385,11 +396,19 @@ def main():
     if preview_fps is not None:
         result["preview_fps_1008x756"] = round(preview_fps, 4)
         print(json.dumps({
-            "metric": "preview_fps_1008x756",  # coarse-only preview mode
+            "metric": "preview_fps_1008x756",  # preview = 32+8 budget pipeline
             "value": round(preview_fps, 4),
             "unit": "fps",
             "vs_baseline": round(preview_fps / 30.0, 6),
         }))
+        print(
+            "# preview mode = the 32+8 budget pipeline since round 5; "
+            "coarse-only preview retired with measurement (13.5 dB held-out "
+            "vs 20.5 at 32+8 / 24.1 at full, trained 3-view DTU checkpoint; "
+            "BASELINE.md round-5). preview: <int> keeps a coarse-only "
+            "density/debug view.",
+            file=sys.stderr,
+        )
     print(json.dumps(result))
     # diagnostics to stderr-adjacent lines (driver reads the JSON line)
 

@@ -362,9 +362,11 @@ class TestEndToEnd:
         assert saved["seed"] == 0
 
     def test_preview_mode_testing(self, synth_root):
-        """Beyond-reference: `test_configs['preview']` renders coarse-only
-        through the product Tester with the trained coarse+fine checkpoint;
-        preview frames must stay close to the full renders.
+        """Beyond-reference: `test_configs['preview']: true` renders the
+        32+8 reduced-budget FULL pipeline through the product Tester with
+        the trained coarse+fine checkpoint (coarse-only preview was retired
+        with a measurement, BASELINE.md round-5); preview frames must stay
+        close to the full renders.
 
         Like the other methods of this class, depends on test_full_pipeline
         having produced train0001 + test0001 (the class runs in definition
@@ -420,10 +422,10 @@ class TestEndToEnd:
         full = read_image(full_path).astype(np.float32)
         mse = np.mean((prev - full) ** 2)
         psnr_vs_full = 10 * np.log10(255.0**2 / mse)
-        # The trained coarse pass approximates the fine render (measured
-        # 15.6 dB after this fixture's short 1200-iter training; longer
-        # training tightens the coarse/fine agreement). The bar guards the
-        # plumbing (correct params, real render), not preview quality.
+        # The 32+8 budget render approximates the full 64+128 render (the
+        # coarse-only preview this mode superseded measured 15.6 dB against
+        # the full render on this fixture). The bar guards the plumbing
+        # (correct params, real render), not preview quality.
         assert psnr_vs_full > 12, f"preview diverges: {psnr_vs_full:.2f} dB"
 
     def test_sample_budget_override_testing(self, synth_root):

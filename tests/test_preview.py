@@ -98,3 +98,97 @@ def test_preview_sample_override_runs():
     )
     assert out["rgb_coarse"].shape == (64, 3)
     assert np.isfinite(out["rgb_coarse"]).all()
+
+
+def test_preview_budget_configs_keeps_full_pipeline():
+    """`preview: true` = the 32+8 reduced-budget FULL pipeline (the
+    coarse-only preview was retired with a held-out quality measurement,
+    BASELINE.md round-5): both MLPs stay, only the quadrature shrinks
+    (clamped to the trained counts), and the source configs are
+    untouched."""
+    from vipnerf_tpu.infer.renderer import (
+        PREVIEW_BUDGET,
+        preview_budget_configs,
+    )
+
+    configs = full_configs()
+    # Flagship-shaped counts reduce to exactly the measured 32+8 budget.
+    flagship = full_configs()
+    flagship["model"]["coarse_mlp"]["num_samples"] = 64
+    flagship["model"]["fine_mlp"]["num_samples"] = 128
+    fcfg = preview_budget_configs(flagship)
+    assert fcfg["model"]["coarse_mlp"]["num_samples"] == PREVIEW_BUDGET[0]
+    assert fcfg["model"]["fine_mlp"]["num_samples"] == PREVIEW_BUDGET[1]
+
+    # Counts already below the budget are never INCREASED by a preview.
+    bcfg = preview_budget_configs(configs)
+    assert bcfg["model"]["coarse_mlp"]["num_samples"] == 8
+    assert bcfg["model"]["fine_mlp"]["num_samples"] == PREVIEW_BUDGET[1]
+    assert configs["model"]["coarse_mlp"]["num_samples"] == 8  # untouched
+    assert configs["model"]["fine_mlp"]["num_samples"] == 16
+
+    # Coarse-only models stay coarse-only (the app-video fixture shape).
+    coarse_only = full_configs()
+    del coarse_only["model"]["fine_mlp"]
+    ccfg = preview_budget_configs(coarse_only)
+    assert "fine_mlp" not in ccfg["model"]
+    assert ccfg["model"]["coarse_mlp"]["num_samples"] == 8
+
+    import jax
+
+    from vipnerf_tpu.infer.renderer import TiledRenderer
+    from vipnerf_tpu.models import get_model
+
+    init_fn, render_fn = get_model(configs)
+    params = init_fn(jax.random.PRNGKey(0), configs)
+    out, _ = TiledRenderer(render_fn, bcfg).render(
+        params, make_batch(64), chunk_size=64,
+        keep=("rgb_coarse", "rgb_fine"),
+    )
+    # The fine pass runs (unlike the retired coarse-only default).
+    assert out["rgb_fine"].shape == (64, 3)
+    assert np.isfinite(out["rgb_fine"]).all()
+
+
+def test_tester_preview_mode_selection():
+    """NerfTester routes `preview: true` to the budget pipeline and an
+    explicit integer to the coarse-only debug view."""
+    import json
+    from pathlib import Path
+
+    from vipnerf_tpu.infer.renderer import PREVIEW_BUDGET
+    from vipnerf_tpu.infer.tester import NerfTester
+
+    configs = full_configs()
+    configs["model"]["coarse_mlp"]["num_samples"] = 64  # flagship counts
+    configs["model"]["fine_mlp"]["num_samples"] = 128
+    configs.update({
+        "database": "NeRF_LLFF",
+        "database_dirpath": "databases/NeRF_LLFF/data",
+        "data_loader": {
+            "ndc": False,
+            "batching": True,
+            "data_preprocessor_name": "DataPreprocessor01",
+            "bd_factor": None,
+            "downsampling_factor": 1,
+            "num_rays": 32,
+        },
+        "seed": 0,
+    })
+    model_configs = {"resolution": [8, 10], "near": 1.0, "far": 5.0}
+
+    t_true = NerfTester(
+        json.loads(json.dumps(configs)), dict(model_configs),
+        {"device": [0], "preview": True}, Path("/tmp"),
+    )
+    rc = t_true.renderer.configs["model"]
+    assert rc["coarse_mlp"]["num_samples"] == PREVIEW_BUDGET[0]
+    assert rc["fine_mlp"]["num_samples"] == PREVIEW_BUDGET[1]
+
+    t_int = NerfTester(
+        json.loads(json.dumps(configs)), dict(model_configs),
+        {"device": [0], "preview": 4}, Path("/tmp"),
+    )
+    rc = t_int.renderer.configs["model"]
+    assert rc["coarse_mlp"]["num_samples"] == 4
+    assert "fine_mlp" not in rc

@@ -41,18 +41,51 @@ _KEEP_KEYS = (
 )
 
 
+# The default-preview sample budget (coarse, fine). Measured on trained
+# protocol checkpoints (tools/sample_budget_eval.py, BASELINE.md rounds 3-5):
+# 32+8 is quality-validated on three scenes/checkpoints and renders FASTER
+# than a coarse-only pass at the trained count (1.22 vs 1.10 fps at
+# 1008x756), so it superseded coarse-only as the `preview: true` mode.
+PREVIEW_BUDGET = (32, 8)
+
+
+def preview_budget_configs(configs: Dict[str, Any]) -> Dict[str, Any]:
+    """Default-preview render configs: the reduced 32+8 sample budget
+    through the FULL coarse+fine pipeline (beyond-reference).
+
+    This superseded the coarse-only preview after the round-5 measurement
+    (BASELINE.md): on a trained 3-view DTU checkpoint the coarse field
+    renders 13.5 dB vs 20.5 (32+8) / 24.1 (full 64+128) — the coarse MLP is
+    an importance-sampling field, not a usable image — and coarse-only at
+    the trained count is also slower than 32+8. Checkpoints load unchanged;
+    only the quadrature shrinks.
+    """
+    import copy
+
+    out = copy.deepcopy(configs)
+    coarse, fine = PREVIEW_BUDGET
+    # Never EXCEED the trained quadrature (a model trained below the budget
+    # is already cheaper than the budget); tolerate coarse-only models.
+    coarse_mlp = out["model"]["coarse_mlp"]
+    coarse_mlp["num_samples"] = min(coarse, coarse_mlp["num_samples"])
+    fine_mlp = out["model"].get("fine_mlp")
+    if fine_mlp is not None:
+        fine_mlp["num_samples"] = min(fine, fine_mlp["num_samples"])
+    return out
+
+
 def preview_configs(
     configs: Dict[str, Any], num_samples: Optional[int] = None
 ) -> Dict[str, Any]:
-    """Coarse-only render configs for interactive preview (beyond-reference).
+    """Coarse-only render configs — a density/debug view (beyond-reference).
 
-    The full ViP-NeRF frame evaluates 64 coarse + 192 fine samples per ray
-    through both 8x256 MLPs; dropping the fine pass cuts the per-frame FLOPs
-    ~4x while reusing the trained coarse MLP unchanged (it is trained on the
-    full loss stack, so its renders are a faithful preview). Optionally
-    override `num_samples` for a further speedup — note values other than
-    the trained count change the stratified z distribution the coarse MLP
-    was fit on, trading more quality.
+    Drops the fine pass and renders the coarse field alone, optionally at an
+    overridden `num_samples`. NOT a quality mode: the coarse MLP is trained
+    as the fine pass's importance sampler and its held-out renders measure
+    ~10 dB below the full pipeline (BASELINE.md round-5, bit-identical to
+    the full render's own `rgb_coarse` map). The product's `preview: true`
+    uses `preview_budget_configs` instead; an explicit integer
+    `preview: N` selects this coarse-only view.
 
     Returns a new configs dict safe to hand to TiledRenderer alongside the
     FULL model params (the unused `fine` subtree is simply not evaluated).

@@ -45,22 +45,26 @@ class NerfTester:
         self.model_configs = model_configs
         self.params = None
 
-        # Beyond-reference: `test_configs['preview']` renders coarse-only
-        # (~4x fewer MLP FLOPs per frame) with the SAME trained params; an
-        # integer value additionally overrides the coarse sample count. The
+        # Beyond-reference: `test_configs['preview']` renders a fast preview
+        # with the SAME trained params. `true` selects the quality-measured
+        # 32+8 reduced-budget FULL pipeline (preview_budget_configs — it
+        # superseded coarse-only, which measured 13.5 dB vs 20.5/24.1 on a
+        # trained checkpoint, BASELINE.md round-5). An explicit integer N
+        # keeps the coarse-only density/debug view at N samples; the
         # preprocessor shares the preview configs so inference outputs are
-        # retrieved from the coarse pass.
+        # retrieved from the coarse pass in that mode.
         render_configs = train_configs
         preview = test_configs.get("preview")
         if preview:
-            from vipnerf_tpu.infer.renderer import preview_configs
-
-            num_samples = (
-                preview
-                if isinstance(preview, int) and not isinstance(preview, bool)
-                else None
+            from vipnerf_tpu.infer.renderer import (
+                preview_budget_configs,
+                preview_configs,
             )
-            render_configs = preview_configs(train_configs, num_samples)
+
+            if isinstance(preview, int) and not isinstance(preview, bool):
+                render_configs = preview_configs(train_configs, preview)
+            else:
+                render_configs = preview_budget_configs(train_configs)
         # Beyond-reference: render-time sample-budget overrides. num_samples
         # only shapes the quadrature — the checkpoint loads unchanged.
         # Measured on the 50k protocol checkpoint (tools/sample_budget_eval.py,
